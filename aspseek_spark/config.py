@@ -1,0 +1,85 @@
+"""CrawlConfig — frozen crawl configuration (SURVEY.md §1.1 D8).
+
+Mirrors the semantics of ASPseek's aspseek.conf directives (MaxHops,
+DeltaTime, Period, MaxDocSize, UserAgent, Server/Realm allow + Disallow
+filters — reference [R:etc/aspseek.conf-dist], [R:src/config.cpp],
+restated by BASELINE.json:6). Values are validated at job start and the
+same dataclass drives both the Spark engine and the pure-Python oracle
+crawler, so semantics cannot drift between them.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field, asdict
+
+EPOCH_ISO = "2026-01-01T00:00:00"
+EPOCH_UNIX = 1767225600  # 2026-01-01T00:00:00Z
+
+
+@dataclass(frozen=True)
+class FilterRule:
+    """One allow/deny rule; first match wins (ASPseek Allow/Disallow chain).
+
+    kind: 'prefix' (string prefix on the canonical URL) or 'regex'.
+    """
+
+    allow: bool
+    kind: str
+    pattern: str
+
+    def matches(self, url: str) -> bool:
+        if self.kind == "prefix":
+            return url.startswith(self.pattern)
+        return re.search(self.pattern, url) is not None
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    # --- reference-semantics knobs (BASELINE.json:6) ---
+    max_hops: int = 3  # MaxHops: outlinks deeper than this are dropped
+    delta_time_s: int = 2  # DeltaTime: spacing between fetches on one host
+    period_s: int = 7 * 24 * 3600  # Period: revisit interval after a fetch
+    host_budget: int = 8  # max URLs fetched per host per round
+    max_doc_size: int = 256 * 1024  # MaxDocSize: body bytes cap before parse
+    user_agent: str = "repo-bot"
+    max_urls_per_round: int | None = None  # global round cap (W2); None = off
+    round_interval_s: int = 3600  # wall-time advanced per micro-batch round
+    # first-match-wins allow/deny chain (F1/F2); empty chain = allow all
+    filters: tuple[FilterRule, ...] = ()
+    default_allow: bool = True
+    # --- engine-layout knobs (no reference analog) ---
+    bloom_partitions: int = 32  # P: bloom blob partitions (≈1024 at 1e10 keys)
+    bloom_bits_per_partition: int = 1 << 20  # m per partition
+    bloom_num_hashes: int = 7  # k
+    shuffle_partitions: int = 32
+
+    def __post_init__(self) -> None:
+        if self.max_hops < 0 or self.delta_time_s < 0 or self.host_budget < 1:
+            raise ValueError("invalid CrawlConfig")
+        if self.bloom_partitions < 1 or self.bloom_bits_per_partition < 8:
+            raise ValueError("invalid bloom sizing")
+
+    def url_allowed(self, url: str) -> bool:
+        """Config allow/deny chain — shared by engine UDF and oracle."""
+        for rule in self.filters:
+            if rule.matches(url):
+                return rule.allow
+        return self.default_allow
+
+    def round_ts_unix(self, round_id: int) -> int:
+        """Deterministic wall-clock of round N (no Date.now in transforms)."""
+        return EPOCH_UNIX + round_id * self.round_interval_s
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self), sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "CrawlConfig":
+        d = json.loads(s)
+        d["filters"] = tuple(FilterRule(**r) for r in d.get("filters", ()))
+        return CrawlConfig(**d)
+
+
+DEFAULT_CONFIG = CrawlConfig()

@@ -1,0 +1,163 @@
+"""Bloom-filter bit addressing + cuckoo-filter fallback (SURVEY.md §2.4 A7, §7).
+
+Design (north_star, BASELINE.json:6): the URL-seen set is a *partitioned*
+bloom filter. Partition routing uses Spark's built-in ``F.hash`` — which IS
+32-bit murmur3, satisfying "keyed by canonicalized murmur3 URL hashes" —
+so routing is computed JVM-side with no Python in the plan. Bit addressing
+*inside* a partition's blob happens in the Arrow-batched blob UDFs and uses
+blake2b-derived double hashing (Kirsch-Mitzenmacher: g_i = h1 + i*h2 mod m),
+which is deterministic across processes and Python versions.
+
+Scale note (§7 hard-part 3/4): at 10^10 keys and 1% fpp the total filter is
+≈12 GB of bits → P≈1024 partitions of ~12 MB blobs, each blob a single row
+in the bloom_state table, OR-merged per round inside its own partition —
+never collected to the driver. 32-bit murmur3 routing only has to spread
+keys across P, so its birthday collisions are irrelevant; seen-set
+*identity* uses xxhash64 + the exact URL string in the ``seen`` table.
+"""
+
+from __future__ import annotations
+
+from hashlib import blake2b
+
+import numpy as np
+
+_SALT = b"aspseek-spark-bloom-v1"
+
+
+def hash_pair(key: str) -> tuple[int, int]:
+    """Two independent 64-bit hashes of a key (double-hashing bases)."""
+    d = blake2b(key.encode("utf-8"), digest_size=16, key=_SALT).digest()
+    return (
+        int.from_bytes(d[:8], "little"),
+        int.from_bytes(d[8:], "little") | 1,  # odd → full-period stepping
+    )
+
+
+def bit_positions(keys: "np.ndarray | list[str]", m_bits: int, k: int) -> np.ndarray:
+    """(n, k) array of bit indices for each key. Vector math after hashing."""
+    n = len(keys)
+    h1 = np.empty(n, dtype=np.uint64)
+    h2 = np.empty(n, dtype=np.uint64)
+    for i, key in enumerate(keys):
+        a, b = hash_pair(key)
+        h1[i] = a
+        h2[i] = b
+    ks = np.arange(k, dtype=np.uint64)
+    # broadcast: (n,1) + (n,1)*(k,) — uint64 wraparound is fine pre-modulo
+    pos = (h1[:, None] + h2[:, None] * ks[None, :]) % np.uint64(m_bits)
+    return pos
+
+
+def bloom_set(bits: np.ndarray, keys, m_bits: int, k: int) -> np.ndarray:
+    """Set membership bits for ``keys`` in a uint8 bit array (in place)."""
+    if len(keys) == 0:
+        return bits
+    pos = bit_positions(keys, m_bits, k).ravel()
+    np.bitwise_or.at(bits, pos >> np.uint64(3),
+                     np.left_shift(np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)))
+    return bits
+
+
+def bloom_test(bits: np.ndarray, keys, m_bits: int, k: int) -> np.ndarray:
+    """Boolean membership vector — True = *maybe* seen (no false negatives)."""
+    n = len(keys)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    pos = bit_positions(keys, m_bits, k)
+    byte_idx = (pos >> np.uint64(3)).astype(np.int64)
+    bit_mask = np.left_shift(np.uint8(1), (pos & np.uint64(7)).astype(np.uint8))
+    hit = (bits[byte_idx] & bit_mask) != 0
+    return hit.all(axis=1)
+
+
+def empty_bloom(m_bits: int) -> np.ndarray:
+    return np.zeros(m_bits // 8, dtype=np.uint8)
+
+
+def bloom_fill_ratio(bits: np.ndarray) -> float:
+    """Fraction of set bits (metrics table; fpp ≈ fill^k)."""
+    if bits.size == 0:
+        return 0.0
+    return float(np.unpackbits(bits).mean())
+
+
+class CuckooFilter:
+    """Cuckoo-filter fallback supporting deletions (north_star: "cuckoo-filter
+    fallback for deletions"). Same interface shape as the bloom helpers but
+    stateful; serialized as raw bytes for the bloom_state table. Used when a
+    crawl space must *forget* URLs (tag deletion / URL expiry) — blooms can't
+    delete. 4 slots/bucket, 16-bit fingerprints, ~95% load max.
+    """
+
+    SLOTS = 4
+
+    def __init__(self, n_buckets: int, table: np.ndarray | None = None,
+                 rng_state: int = 0x9E3779B9):
+        self.n_buckets = n_buckets
+        self.table = (
+            table
+            if table is not None
+            else np.zeros((n_buckets, self.SLOTS), dtype=np.uint16)
+        )
+        self._rng_state = rng_state
+
+    def _fp_and_index(self, key: str) -> tuple[int, int]:
+        h1, h2 = hash_pair(key)
+        fp = (h2 & 0xFFFF) or 1  # 0 = empty slot sentinel
+        return fp, h1 % self.n_buckets
+
+    def _alt_index(self, idx: int, fp: int) -> int:
+        # standard partial-key cuckoo: alt = idx xor hash(fp)
+        fph = blake2b(fp.to_bytes(2, "little"), digest_size=8, key=_SALT).digest()
+        return (idx ^ int.from_bytes(fph, "little")) % self.n_buckets
+
+    def insert(self, key: str, max_kicks: int = 200) -> bool:
+        fp, i1 = self._fp_and_index(key)
+        i2 = self._alt_index(i1, fp)
+        for i in (i1, i2):
+            row = self.table[i]
+            empties = np.flatnonzero(row == 0)
+            if empties.size:
+                row[empties[0]] = fp
+                return True
+        idx = i1
+        for _ in range(max_kicks):
+            # deterministic eviction: rotate via an LCG on internal state
+            self._rng_state = (self._rng_state * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+            slot = self._rng_state % self.SLOTS
+            fp, self.table[idx][slot] = int(self.table[idx][slot]), fp
+            idx = self._alt_index(idx, fp)
+            row = self.table[idx]
+            empties = np.flatnonzero(row == 0)
+            if empties.size:
+                row[empties[0]] = fp
+                return True
+        return False  # full — caller must grow/repartition
+
+    def contains(self, key: str) -> bool:
+        fp, i1 = self._fp_and_index(key)
+        if (self.table[i1] == fp).any():
+            return True
+        i2 = self._alt_index(i1, fp)
+        return bool((self.table[i2] == fp).any())
+
+    def delete(self, key: str) -> bool:
+        fp, i1 = self._fp_and_index(key)
+        for i in (i1, self._alt_index(i1, fp)):
+            row = self.table[i]
+            hits = np.flatnonzero(row == fp)
+            if hits.size:
+                row[hits[0]] = 0
+                return True
+        return False
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, n_buckets: int) -> "CuckooFilter":
+        table = np.frombuffer(data, dtype=np.uint16).reshape(
+            n_buckets, cls.SLOTS
+        ).copy()
+        return cls(n_buckets, table)

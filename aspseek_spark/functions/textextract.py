@@ -1,0 +1,105 @@
+"""HTML text + href extraction (SURVEY.md §2.9 — the byte-for-byte contract).
+
+The reference's parser ([R:src/parser.cpp] — mount empty at survey time) is a
+single-pass HTML scanner: skip comments and <script>/<style>, strip tags,
+decode entities, collapse whitespace. BASELINE.json:16 requires "byte-identical
+extracted text per url" — satisfied by construction: the fixture generator
+stores ``text = extract1(html)`` at generation time and the engine reproduces
+it through the same function inside an Arrow-batched mapInPandas
+(operators/parse.py). Golden-file tests pin the behavior so the spec cannot
+drift silently (tests/test_extract.py).
+
+Rules of ``extract1`` (deterministic, documented so they are re-derivable):
+  1. decode bytes as UTF-8 with errors='replace'
+  2. drop <!-- ... --> comments (non-greedy)
+  3. drop <script ...>...</script> and <style ...>...</style> blocks
+     (case-insensitive)
+  4. replace every remaining tag <...> with a single space
+  5. decode entities: named set {amp, lt, gt, quot, apos, nbsp} plus
+     numeric &#NNN; and &#xHH; (nbsp decodes to a plain space)
+  6. collapse all whitespace runs to a single space; strip both ends
+"""
+
+from __future__ import annotations
+
+import re
+
+_COMMENT_RE = re.compile(rb"<!--.*?-->", re.S)
+_SCRIPT_RE = re.compile(rb"<script\b.*?</script\s*>", re.S | re.I)
+_STYLE_RE = re.compile(rb"<style\b.*?</style\s*>", re.S | re.I)
+_TAG_RE = re.compile(r"<[^>]*>")
+_WS_RE = re.compile(r"\s+")
+_ENTITY_RE = re.compile(r"&(#x[0-9a-fA-F]+|#[0-9]+|[a-zA-Z]+);")
+_NAMED_ENTITIES = {
+    "amp": "&",
+    "lt": "<",
+    "gt": ">",
+    "quot": '"',
+    "apos": "'",
+    "nbsp": " ",
+}
+_HREF_RE = re.compile(
+    rb"""<a\b[^>]*?\bhref\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I
+)
+_TITLE_RE = re.compile(rb"<title[^>]*>(.*?)</title\s*>", re.S | re.I)
+
+
+def _decode_entity(m: re.Match) -> str:
+    body = m.group(1)
+    if body.startswith("#x") or body.startswith("#X"):
+        try:
+            return chr(int(body[2:], 16))
+        except (ValueError, OverflowError):
+            return m.group(0)
+    if body.startswith("#"):
+        try:
+            return chr(int(body[1:]))
+        except (ValueError, OverflowError):
+            return m.group(0)
+    return _NAMED_ENTITIES.get(body, m.group(0))
+
+
+def extract1(html: bytes) -> str:
+    """Extract visible text from HTML bytes — the golden-pinned function."""
+    if html is None:
+        return ""
+    raw = _COMMENT_RE.sub(b" ", html)
+    raw = _SCRIPT_RE.sub(b" ", raw)
+    raw = _STYLE_RE.sub(b" ", raw)
+    s = raw.decode("utf-8", errors="replace")
+    s = _TAG_RE.sub(" ", s)
+    s = _ENTITY_RE.sub(_decode_entity, s)
+    return _WS_RE.sub(" ", s).strip()
+
+
+def extract_title(html: bytes) -> str:
+    """<title> zone text (reference zones: title/meta/body)."""
+    if html is None:
+        return ""
+    m = _TITLE_RE.search(html)
+    if not m:
+        return ""
+    s = m.group(1).decode("utf-8", errors="replace")
+    s = _ENTITY_RE.sub(_decode_entity, s)
+    return _WS_RE.sub(" ", s).strip()
+
+
+def extract_hrefs(html: bytes) -> list[str]:
+    """Raw href attribute values of <a> tags, document order, pre-resolution.
+
+    Runs on the *raw* bytes (before comment/script stripping would be wrong:
+    the reference extracts links from markup, and links inside comments or
+    scripts are not real anchors — so strip those first here too).
+    """
+    if html is None:
+        return []
+    raw = _COMMENT_RE.sub(b" ", html)
+    raw = _SCRIPT_RE.sub(b" ", raw)
+    raw = _STYLE_RE.sub(b" ", raw)
+    out: list[str] = []
+    for m in _HREF_RE.finditer(raw):
+        g = m.group(1) or m.group(2) or m.group(3) or b""
+        href = g.decode("utf-8", errors="replace").strip()
+        if href:
+            out.append(href)
+    return out

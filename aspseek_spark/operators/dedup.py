@@ -1,0 +1,248 @@
+"""Deduplication operators for web-scale corpora (driver brief + J5).
+
+The reference's clone detection is a content-CRC equality check
+([R:src/index.cpp] CRC logic, SURVEY.md §2.3 J5). That covers exact dups;
+a training-data pipeline additionally needs near-dup detection. All four
+families here, Spark-first:
+
+  exact_dedup     — md5 groupBy, keep deterministic representative
+  minhash_lsh     — shingle → K minhashes → B bands → bucket join;
+                    candidate pairs verified by exact Jaccard. All hashing
+                    via built-in xxhash64 (JVM, codegen) — no Python.
+  simhash         — 64-bit simhash over token hashes; near-dups = equal
+                    simhash (0-distance buckets) or banded chunks
+  ngram_jaccard   — exact n-gram Jaccard via explode + self-join on shingle
+  embedding near-dup lives in similarity.py (cosine threshold)
+
+Scale notes: minhash_lsh is the 100 TB path — cost is a scan (shingle+hash,
+all codegen) plus one shuffle on (band, signature); the exact-Jaccard
+verify touches only candidate pairs. ngram_jaccard's explode join is the
+small-corpus/oracle path (quadratic in bucket size) — kept because it is
+the ground truth the LSH variant is tested against.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import tokens_col
+
+
+def exact_dedup(df: DataFrame, key: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per distinct text; representative = min key (deterministic).
+    Adds dup_count. Reference J5 semantics: first-seen wins."""
+    return (
+        df.withColumn("content_md5", F.md5(F.col(text_col)))
+        .groupBy("content_md5")
+        .agg(
+            F.min(key).alias(key),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def shingles_col(text_col: str = "text", n: int = 3):
+    toks = tokens_col(text_col)
+    cnt = F.size(toks)
+    return F.when(
+        cnt >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), cnt - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array(F.col(text_col)))
+
+
+def minhash_signatures(
+    df: DataFrame, key: str = "doc_id", text_col: str = "text",
+    num_hashes: int = 32, shingle_n: int = 3,
+) -> DataFrame:
+    """(key, sig array<long>) — sig[i] = min over shingles of
+    xxhash64(shingle, seed=i). Pure column expressions: the shingle array
+    and all K hash functions run inside whole-stage codegen."""
+    sh = shingles_col(text_col, shingle_n)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(key), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, key: str = "doc_id", text_col: str = "text",
+    num_hashes: int = 32, bands: int = 8, shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded LSH, verified with exact Jaccard.
+
+    Returns (a, b, est_jaccard, jaccard) with a < b, jaccard ≥ threshold.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, key, text_col, num_hashes, shingle_n)
+
+    banded = sigs.select(
+        F.col(key).alias("k"),
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("k", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col("l.k") < F.col("r.k"),
+            ],
+        )
+        .select(
+            F.col("l.k").alias("a"),
+            F.col("r.k").alias("b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda v: v,
+            )
+        )
+        / F.lit(num_hashes)
+    )
+    cand = cand.select("a", "b", est.alias("est_jaccard"))
+
+    # exact verify on the shingle sets of surviving pairs only
+    sh = df.select(
+        F.col(key).alias("k"), shingles_col(text_col, shingle_n).alias("sh")
+    )
+    out = (
+        cand.join(sh.withColumnRenamed("k", "a").withColumnRenamed("sh", "sh_a"), "a")
+        .join(sh.withColumnRenamed("k", "b").withColumnRenamed("sh", "sh_b"), "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("a", "b", "est_jaccard", "jaccard")
+    )
+    return out
+
+
+def simhash(df: DataFrame, key: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit simhash: per-token xxhash64, sum ±1 per bit over tokens, sign
+    → bit. Implemented as 64 column expressions (codegen; no Python)."""
+    toks = F.array_distinct(tokens_col(text_col))
+    h = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_cols = []
+
+    def _voter(m):
+        # factory, not a default arg: Spark inspects the lambda's arity
+        return lambda acc, x: acc + F.when(
+            x.bitwiseAND(F.lit(m).cast("long")) != 0, 1
+        ).otherwise(-1)
+
+    for b in range(64):
+        # bit 63 is the sign bit: 1<<63 overflows a signed long literal
+        mask = (1 << b) if b < 63 else -(1 << 63)
+        votes = F.aggregate(h, F.lit(0), _voter(mask))
+        bit_cols.append(
+            F.when(votes > 0, F.lit(mask).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    sim = bit_cols[0]
+    for c in bit_cols[1:]:
+        sim = sim.bitwiseOR(c)
+    return df.select(F.col(key), sim.alias("simhash"))
+
+
+def simhash_buckets(df: DataFrame, key: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of documents sharing an identical simhash (near-dup clusters
+    at hamming distance 0; banded chunks extend to distance>0)."""
+    s = simhash(df, key, text_col)
+    return (
+        s.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min(key).alias("rep"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, key: str = "doc_id", text_col: str = "text",
+    shingle_n: int = 3, threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via shingle explode + equi-join —
+    the ground-truth (quadratic) path used to validate minhash_lsh."""
+    sh = df.select(
+        F.col(key).alias("k"),
+        F.explode(shingles_col(text_col, shingle_n)).alias("s"),
+    )
+    sizes = sh.groupBy("k").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), on=[F.col("x.s") == F.col("y.s"), F.col("x.k") < F.col("y.k")])
+        .groupBy(F.col("x.k").alias("a"), F.col("y.k").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("k", "a").withColumnRenamed("sz", "sz_a"), "a")
+        .join(sizes.withColumnRenamed("k", "b").withColumnRenamed("sz", "sz_b"), "b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def clone_detect(fetched: DataFrame) -> DataFrame:
+    """Reference J5 on the crawl's fetched table: same content CRC ⇒ later
+    URLs are clones of the first (Window over crc — single shuffle)."""
+    w = Window.partitionBy("content_crc").orderBy("round", "sched_unix", "url_canon")
+    return (
+        fetched.filter(F.col("status") == 200)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "clone_of",
+            F.when(
+                F.col("rn") > 1,
+                F.first("url_canon").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            ),
+        )
+        .drop("rn")
+    )

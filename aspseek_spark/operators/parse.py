@@ -1,0 +1,82 @@
+"""Fetch-result parsing: text extraction + outlink emission (SURVEY.md §2.9).
+
+One ``mapInPandas`` pass over the fetched batch does everything the
+reference's parser does per page ([R:src/parser.cpp] semantics, quarantined
+in functions/textextract.extract1):
+
+  - MaxDocSize truncation (F6) before decode
+  - byte-exact text extraction (golden-pinned)
+  - content CRC32 + MD5 for clone/change detection (S5) — computed on the
+    JVM side via built-ins, NOT here, to stay codegen'd
+  - href extraction → resolution → canonicalization → config allow/deny
+    filter (F1/F2) → MaxHops cutoff (F3), emitted as an array column that
+    the caller explodes (UDTF-shaped: one page row in, N link rows out)
+
+Everything crossing the Python boundary is Arrow-batched; the page ``html``
+binary never enters a shuffle after this operator (SURVEY.md §4: column
+pruning — drop html immediately after parse).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import CrawlConfig
+from ..functions.textextract import extract1, extract_hrefs
+from ..functions.urlnorm import resolve_href
+
+_PARSE_EXTRA = "text_extracted string, outlinks array<string>"
+
+
+def parse_fetched(df: DataFrame, config: CrawlConfig) -> DataFrame:
+    """fetched pages (url_canon, html, depth, ...) → + text_extracted,
+    outlinks (canonical, config-filtered, deduped in-page, document order
+    irrelevant downstream — candidates are re-deduped per round).
+    """
+    cfg_json = config.to_json()
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", " + _PARSE_EXTRA
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cfg = CrawlConfig.from_json(cfg_json)
+        for pdf in batches:
+            texts: list[str] = []
+            links: list[list[str]] = []
+            for url, html, depth in zip(
+                pdf["url_canon"], pdf["html"], pdf["depth"]
+            ):
+                if html is None:
+                    texts.append(None)
+                    links.append([])
+                    continue
+                body = bytes(html)[: cfg.max_doc_size]
+                texts.append(extract1(body))
+                if depth is not None and depth + 1 > cfg.max_hops:
+                    links.append([])
+                    continue
+                out: list[str] = []
+                seen_local: set[str] = set()
+                for href in extract_hrefs(body):
+                    cu = resolve_href(url, href)
+                    if cu is None or cu in seen_local:
+                        continue
+                    if not cfg.url_allowed(cu):
+                        continue
+                    seen_local.add(cu)
+                    out.append(cu)
+                links.append(out)
+            yield pdf.assign(text_extracted=texts, outlinks=links)
+
+    return df.mapInPandas(_parse, schema=out_schema)
+
+
+def with_content_digests(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """CRC32 + MD5 of page bytes — JVM built-ins (S5), codegen'd."""
+    return df.withColumn("content_crc", F.crc32(F.col(html_col))).withColumn(
+        "content_md5", F.md5(F.col(html_col))
+    )

@@ -1,0 +1,145 @@
+"""Search-side posting lists + boolean/phrase query evaluation (SURVEY.md
+§2.3 J7/J8, §2.7 SO4/SO5, §2.4 A3/A4, §2.5 W4 — milestone M7).
+
+The reference stores per-(doc, word) postings with positions and evaluates
+boolean expression trees against delta-compressed posting files
+([R:src/words.cpp], [R:src/deltas.cpp], [R:src/search.cpp]). Spark-first
+re-expression:
+
+  build_postings   — tokenize → explode → groupBy(doc, word): positions
+                     array + tf. One shuffle; partitioned/bucketed by word
+                     at scale so term probes are partition-pruned scans.
+  AND              — semi-join chain / groupBy-having-count
+  OR               — union + distinct
+  NOT              — left_anti (SO4)
+  phrase           — self-join on doc + adjacent-position arrays_overlap (J8)
+  ranking          — zone-weighted tf (+ optional popularity) desc, paged,
+                     per-site best hit via row_number (W4/J9)
+  stopword filter  — broadcast isin (F8)
+  df/dictionary    — docs-per-word stats, approx at scale (A4)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import tokens_col
+
+
+def build_postings(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """(doc, word, positions array<int>, tf) from raw text (A3)."""
+    toks = docs.select(
+        F.col(doc_col).alias("doc"),
+        F.posexplode(tokens_col(text_col)).alias("pos", "word"),
+    ).withColumn("word", F.lower("word"))
+    if stopwords:
+        toks = toks.filter(~F.col("word").isin(stopwords))  # F8
+    return toks.groupBy("doc", "word").agg(
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+        F.count("*").alias("tf"),
+    )
+
+
+def word_doc_freq(postings: DataFrame, approx: bool = False) -> DataFrame:
+    """df(word) dictionary stats (A4); approx_count_distinct at scale."""
+    agg = (
+        F.approx_count_distinct("doc") if approx else F.countDistinct("doc")
+    ).alias("df")
+    return postings.groupBy("word").agg(agg, F.sum("tf").alias("cf"))
+
+
+def docs_with_all(postings: DataFrame, terms: list[str]) -> DataFrame:
+    """AND: docs containing every term (groupBy-having over a broadcast
+    semi-join — one shuffle regardless of term count)."""
+    hits = postings.filter(F.col("word").isin([t.lower() for t in terms]))
+    return (
+        hits.groupBy("doc")
+        .agg(F.countDistinct("word").alias("nw"), F.sum("tf").alias("score"))
+        .filter(F.col("nw") == len(set(t.lower() for t in terms)))
+        .select("doc", "score")
+    )
+
+
+def docs_with_any(postings: DataFrame, terms: list[str]) -> DataFrame:
+    """OR: union semantics with summed tf score."""
+    hits = postings.filter(F.col("word").isin([t.lower() for t in terms]))
+    return hits.groupBy("doc").agg(F.sum("tf").alias("score"))
+
+
+def docs_without(result: DataFrame, postings: DataFrame, term: str) -> DataFrame:
+    """NOT: subtract docs containing term (SO4: left_anti)."""
+    neg = postings.filter(F.col("word") == term.lower()).select("doc")
+    return result.join(neg, "doc", "left_anti")
+
+
+def phrase_match(postings: DataFrame, w1: str, w2: str) -> DataFrame:
+    """Docs where w2 directly follows w1 (J8): self-join on doc +
+    arrays_overlap(positions(w1)+1, positions(w2))."""
+    a = postings.filter(F.col("word") == w1.lower()).select(
+        "doc", F.col("positions").alias("p1")
+    )
+    b = postings.filter(F.col("word") == w2.lower()).select(
+        "doc", F.col("positions").alias("p2")
+    )
+    return (
+        a.join(b, "doc")
+        .filter(
+            F.arrays_overlap(
+                F.transform("p1", lambda x: x + 1), F.col("p2")
+            )
+        )
+        .select("doc")
+    )
+
+
+def proximity_match(postings: DataFrame, w1: str, w2: str, window: int) -> DataFrame:
+    """Docs where w1 and w2 occur within ``window`` positions (general
+    proximity: explode + range predicate theta-join, J8)."""
+    a = postings.filter(F.col("word") == w1.lower()).select(
+        "doc", F.explode("positions").alias("pa")
+    )
+    b = postings.filter(F.col("word") == w2.lower()).select(
+        F.col("doc").alias("doc_b"), F.explode("positions").alias("pb")
+    )
+    return (
+        a.join(
+            b,
+            on=[
+                a.doc == b.doc_b,
+                F.abs(F.col("pa") - F.col("pb")) <= window,
+            ],
+        )
+        .select("doc")
+        .distinct()
+    )
+
+
+def rank_results(
+    scored: DataFrame,
+    docs_meta: DataFrame | None = None,
+    site_col: str | None = None,
+    page: int = 0,
+    page_size: int = 10,
+) -> DataFrame:
+    """W4: order by score desc (tie-break doc asc), optional one-best-per-
+    site grouping (J9), deterministic paging."""
+    df = scored
+    if docs_meta is not None and site_col is not None:
+        df = df.join(docs_meta, "doc")
+        w = Window.partitionBy(site_col).orderBy(F.desc("score"), F.asc("doc"))
+        df = df.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") == 1
+        ).drop("_rn")
+    return (
+        df.orderBy(F.desc("score"), F.asc("doc"))
+        .limit((page + 1) * page_size)
+        .offset(page * page_size)
+        if page > 0
+        else df.orderBy(F.desc("score"), F.asc("doc")).limit(page_size)
+    )

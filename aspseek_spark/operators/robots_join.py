@@ -1,0 +1,110 @@
+"""robots.txt fetch, parse, cache & allow filter (SURVEY.md SRC3/F4/J2).
+
+Reference behavior: robots.txt is fetched once per new host, parsed, cached
+in the MySQL ``robots`` table, and consulted before every fetch
+([R:src/robots.cpp], BASELINE.json:6). Here:
+
+  - the ``robots`` DataFrame is the cache: host, rules
+    array<struct<allow:boolean,path:string>>, status, fetched_unix
+  - hosts that are due but missing from the cache get a robots fetch first
+    (simulated-fetch join against robots_src — the same seam a live
+    ``mapInPandas`` HTTP connector would slot into), parsed by an
+    Arrow-batched pandas UDF sharing ``parse_robots`` with the oracle
+  - the allow decision joins candidates to the cache on host (broadcast
+    when the cache is small; at 10^10 scale the cache is itself large →
+    plain shuffle join, AQE handles skewed hosts) and applies the shared
+    longest-match ``robots_allowed`` rule in a vectorized UDF
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.robots import parse_robots, path_of, robots_allowed
+
+RULES_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("allow", T.BooleanType()),
+            T.StructField("path", T.StringType()),
+        ]
+    )
+)
+ROBOTS_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("rules", RULES_TYPE),
+        T.StructField("status", T.IntegerType()),
+        T.StructField("fetched_unix", T.LongType()),
+    ]
+)
+
+
+def empty_robots(spark) -> DataFrame:
+    return spark.createDataFrame([], ROBOTS_SCHEMA)
+
+
+def fetch_missing_robots(
+    hosts: DataFrame,
+    robots: DataFrame,
+    robots_src: DataFrame,
+    user_agent: str,
+    round_ts: int,
+) -> DataFrame:
+    """Hosts not yet cached → fetch+parse → rows to append to the cache.
+
+    ``hosts``: one column ``host`` (pre-deduplicated). Missing from
+    robots_src = unfetchable robots (status 404 → allow-all empty rules).
+    """
+    missing = hosts.select("host").distinct().join(
+        robots.select("host"), on="host", how="left_anti"
+    )
+    fetched = missing.join(robots_src, on="host", how="left")
+
+    @F.pandas_udf(RULES_TYPE)
+    def parse_udf(bodies: pd.Series) -> pd.Series:
+        return bodies.map(
+            lambda b: [
+                {"allow": a, "path": p}
+                for a, p in parse_robots(bytes(b), user_agent)
+            ]
+            if b is not None
+            else [],
+        )
+
+    return fetched.select(
+        "host",
+        parse_udf(F.col("body")).alias("rules"),
+        F.when(F.col("body").isNotNull(), F.lit(200))
+        .otherwise(F.lit(404))
+        .alias("status"),
+        F.lit(round_ts).cast("long").alias("fetched_unix"),
+    )
+
+
+def robots_allow_filter(
+    candidates: DataFrame, robots: DataFrame, broadcast_cache: bool = True
+) -> DataFrame:
+    """candidates(+url_canon, host) → + robots_ok boolean."""
+    cache = robots.select("host", "rules")
+    if broadcast_cache:
+        cache = F.broadcast(cache)
+    joined = candidates.join(cache, on="host", how="left")
+
+    @F.pandas_udf(T.BooleanType())
+    def allowed_udf(url_canon: pd.Series, rules: pd.Series) -> pd.Series:
+        out = []
+        for u, r in zip(url_canon, rules):
+            if r is None or len(r) == 0:
+                out.append(True)
+                continue
+            rule_list = [(d["allow"], d["path"]) for d in r]
+            out.append(robots_allowed(rule_list, path_of(u)))
+        return pd.Series(out, dtype=bool)
+
+    return joined.withColumn(
+        "robots_ok", allowed_udf(F.col("url_canon"), F.col("rules"))
+    ).drop("rules")

@@ -1,0 +1,143 @@
+"""Partitioned-bloom URL-seen set (SURVEY.md §2.3 J1, §2.4 A7, north_star).
+
+The reference's URL-seen test is a unique-key probe / INSERT IGNORE into the
+MySQL ``urlword`` table ([R:src/sqldb.cpp], BASELINE.json:6). At 10^10 URLs
+that row-store probe is the scaling wall; this module re-expresses it as:
+
+  stage 1 — partitioned bloom probe: candidates route to their bloom
+      partition via ``pmod(murmur3(url_canon), P)`` (JVM-side F.hash), then a
+      cogrouped ``applyInPandas`` tests membership against that partition's
+      bit blob. A bloom MISS is a definite-new URL (no false negatives) —
+      at steady state the vast majority of already-seen candidates are
+      killed here without touching the big ``seen`` table.
+  stage 2 — exact backstop: only bloom HITS ("maybe seen", ~1% of new URLs
+      at design fpp) anti-join the exact ``seen`` table on url_canon,
+      eliminating false positives. Correctness therefore never depends on
+      the bloom: it is purely a shuffle/IO reducer.
+
+Scale sizing (§7): 10^10 keys @1% fpp ≈ 12 GB of bits → P≈1024 blobs of
+~12 MB, one row each, OR-merged per round inside their own partition (the
+merge is a cogrouped applyInPandas keyed by pid — never collected to the
+driver). Local tests use P=32 × 1 Mbit.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import CrawlConfig
+from ..functions.hashing import bloom_fill_ratio, bloom_set, bloom_test, empty_bloom
+
+BLOOM_STATE_SCHEMA = "pid int, bits binary, n_keys long"
+
+
+def _with_pid(df: DataFrame, p: int) -> DataFrame:
+    return df.withColumn("pid", F.pmod(F.hash("url_canon"), F.lit(p)))
+
+
+def bloom_probe(
+    candidates: DataFrame, bloom_state: DataFrame, config: CrawlConfig
+) -> DataFrame:
+    """candidates(+url_canon) → + maybe_seen boolean (bloom partition test)."""
+    m, k = config.bloom_bits_per_partition, config.bloom_num_hashes
+    cand = _with_pid(candidates, config.bloom_partitions)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in cand.schema.fields
+    ) + ", maybe_seen boolean"
+
+    def _probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return left.assign(maybe_seen=pd.Series([], dtype=bool))
+        if right.empty:
+            return left.assign(maybe_seen=False)
+        bits = (
+            pd.Series([bytearray()])
+            if right["bits"].iloc[0] is None
+            else right["bits"].iloc[0]
+        )
+        import numpy as np
+
+        arr = np.frombuffer(bytes(bits), dtype=np.uint8)
+        hit = bloom_test(arr, left["url_canon"].tolist(), m, k)
+        return left.assign(maybe_seen=hit)
+
+    return (
+        cand.groupby("pid")
+        .cogroup(bloom_state.groupby("pid"))
+        .applyInPandas(_probe, schema=out_schema)
+    )
+
+
+def seen_filter_new(
+    candidates: DataFrame,
+    bloom_state: DataFrame,
+    seen: DataFrame,
+    config: CrawlConfig,
+) -> DataFrame:
+    """The full two-stage URL-seen test → only definitely-new candidates.
+
+    Output keeps the candidate schema (pid/maybe_seen dropped).
+    """
+    probed = bloom_probe(candidates, bloom_state, config)
+    cols = [c for c in probed.columns if c not in ("maybe_seen", "pid")]
+    definite_new = probed.filter(~F.col("maybe_seen")).select(*cols)
+    maybe = probed.filter(F.col("maybe_seen")).select(*cols)
+    # exact backstop: anti-join kills bloom false positives
+    survivors = maybe.join(
+        seen.select("url_canon"), on="url_canon", how="left_anti"
+    )
+    return definite_new.unionByName(survivors)
+
+
+def bloom_add(
+    new_urls: DataFrame, bloom_state: DataFrame, config: CrawlConfig
+) -> DataFrame:
+    """OR-merge new url_canon keys into the partitioned bloom state.
+
+    Cogroup iterates the union of pids, so partitions with no new keys pass
+    their blob through unchanged and brand-new pids get a fresh blob.
+    """
+    m, k = config.bloom_bits_per_partition, config.bloom_num_hashes
+    keys = _with_pid(new_urls.select("url_canon"), config.bloom_partitions)
+
+    def _build(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if left.empty and right.empty:
+            return pd.DataFrame(columns=["pid", "bits", "n_keys"])
+        if right.empty:
+            pid = int(left["pid"].iloc[0])
+            bits = empty_bloom(m)
+            n0 = 0
+        else:
+            pid = int(right["pid"].iloc[0])
+            bits = np.frombuffer(bytes(right["bits"].iloc[0]), dtype=np.uint8).copy()
+            n0 = int(right["n_keys"].iloc[0])
+        if not left.empty:
+            bloom_set(bits, left["url_canon"].tolist(), m, k)
+        return pd.DataFrame(
+            {"pid": [pid], "bits": [bits.tobytes()], "n_keys": [n0 + len(left)]}
+        )
+
+    return (
+        keys.groupby("pid")
+        .cogroup(bloom_state.groupby("pid"))
+        .applyInPandas(_build, schema=BLOOM_STATE_SCHEMA)
+    )
+
+
+def bloom_metrics(bloom_state: DataFrame) -> tuple[float, int]:
+    """(mean fill ratio, total keys) for the metrics table — small collect
+    of P blob rows only (P≈1024 at scale; never the key set itself)."""
+    rows = bloom_state.collect()
+    if not rows:
+        return 0.0, 0
+    import numpy as np
+
+    fills = [
+        bloom_fill_ratio(np.frombuffer(bytes(r["bits"]), dtype=np.uint8))
+        for r in rows
+    ]
+    return float(sum(fills) / len(fills)), int(sum(r["n_keys"] for r in rows))

@@ -1,0 +1,218 @@
+"""Similarity search over embedding columns (driver brief).
+
+Brute-force cosine top-k is the correctness baseline (pure column math:
+F.zip_with dot product + F.aggregate — all codegen, no Python); the scale
+path is LSH-bucketed (random-hyperplane signs → bucket equi-join) and an
+IVF-style variant (assign to nearest of K centroids, search within cell).
+
+Scale notes: brute force is O(N·Q) dot products — fine for reranking, wrong
+as the primary path at 10^9 vectors. The LSH/IVF variants turn it into one
+shuffle on (bucket) with per-bucket brute force; recall is tunable via
+number of hyperplanes / probe cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def cosine_topk_bruteforce(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by cosine vs one query vector. Distributed TakeOrdered (sort +
+    limit), deterministic tie-break on id."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cast_vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cos = _dot(cast_vec, q) / (_norm(cast_vec) * _norm(q))
+    return (
+        embeddings.select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def knn_join_bruteforce(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """For each left vector, its k nearest right vectors by cosine
+    (cross join + per-left window top-k). Ground truth for the LSH path."""
+    l = left.select(
+        F.col(id_col).alias("qid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    r = right.select(
+        F.col(id_col).alias("nid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("nv"),
+    )
+    scored = l.crossJoin(r).select(
+        "qid",
+        "nid",
+        (_dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv")))).alias("cosine"),
+    ).filter(F.col("qid") != F.col("nid"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    ).drop("rn")
+
+
+def lsh_bucket_ann(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    hyperplanes: list[list[float]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Random-hyperplane LSH ANN: signature = sign bits vs fixed
+    hyperplanes; probe only vectors sharing the query's signature bucket,
+    brute-force within. Hyperplanes are caller-fixed (deterministic).
+    Recall < 1 by construction — the scale path; pair with bruteforce as
+    reranker/oracle."""
+    def sig_of(vec_col_expr):
+        bits = []
+        for i, h in enumerate(hyperplanes):
+            hv = F.array(*[F.lit(float(x)) for x in h])
+            bits.append(
+                F.when(_dot(vec_col_expr, hv) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+            )
+        s = bits[0]
+        for b in bits[1:]:
+            s = s + b
+        return s
+
+    cast_vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    tagged = embeddings.select(
+        F.col(id_col), cast_vec.alias("v")
+    ).withColumn("bucket", sig_of(F.col("v")))
+
+    # query signature computed the same way, driver-side constant
+    import math
+
+    qsig = 0
+    for i, h in enumerate(hyperplanes):
+        d = sum(a * b for a, b in zip(query_vec, h))
+        if d >= 0:
+            qsig |= 1 << i
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = math.sqrt(sum(x * x for x in query_vec))
+    return (
+        tagged.filter(F.col("bucket") == F.lit(qsig))
+        .select(
+            F.col(id_col),
+            (_dot(F.col("v"), q) / (_norm(F.col("v")) * F.lit(qn))).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_ann(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    n_probe: int = 2,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style ANN: assign each vector to its nearest centroid (argmin
+    over fixed centroids — codegen'd expression chain), search only the
+    n_probe cells nearest the query. Centroids are caller-fixed
+    (k-means offline at scale)."""
+    cast_vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def nearest_cell(vexpr):
+        best_i, best_d = F.lit(0), F.lit(float("inf"))
+        for i, c in enumerate(centroids):
+            cv = F.array(*[F.lit(float(x)) for x in c])
+            d = F.aggregate(
+                F.zip_with(vexpr, cv, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            cond = d < best_d
+            best_i = F.when(cond, F.lit(i)).otherwise(best_i)
+            best_d = F.when(cond, d).otherwise(best_d)
+        return best_i
+
+    tagged = embeddings.select(F.col(id_col), cast_vec.alias("v")).withColumn(
+        "cell", nearest_cell(F.col("v"))
+    )
+    # driver-side: the n_probe nearest cells to the query
+    dists = [
+        (i, sum((a - b) ** 2 for a, b in zip(query_vec, c)))
+        for i, c in enumerate(centroids)
+    ]
+    probe = [i for i, _ in sorted(dists, key=lambda t: t[1])[:n_probe]]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        tagged.filter(F.col("cell").isin(probe))
+        .select(
+            F.col(id_col),
+            (_dot(F.col("v"), q) / (_norm(F.col("v")) * _norm(q))).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    hyperplanes: list[list[float]],
+    cosine_threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-dup: LSH bucket self-join + exact cosine
+    verify ≥ threshold. The embedding-space member of the dedup family."""
+    cast_vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bits = []
+    for i, h in enumerate(hyperplanes):
+        hv = F.array(*[F.lit(float(x)) for x in h])
+        bits.append(F.when(_dot(cast_vec, hv) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    tagged = embeddings.select(F.col(id_col).alias("k"), cast_vec.alias("v"), sig.alias("bucket"))
+    pairs = (
+        tagged.alias("x")
+        .join(
+            tagged.alias("y"),
+            on=[F.col("x.bucket") == F.col("y.bucket"), F.col("x.k") < F.col("y.k")],
+        )
+        .select(
+            F.col("x.k").alias("a"),
+            F.col("y.k").alias("b"),
+            (
+                _dot(F.col("x.v"), F.col("y.v"))
+                / (_norm(F.col("x.v")) * _norm(F.col("y.v")))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= cosine_threshold)
+    )
+    return pairs

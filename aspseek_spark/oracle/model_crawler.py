@@ -1,0 +1,172 @@
+"""Model crawler — the reference-semantics oracle (SURVEY.md §5.2).
+
+A single-threaded pure-Python crawler implementing EXACTLY the documented
+reference semantics (BASELINE.json:6: MaxHops, DeltaTime, per-host budget,
+robots, priority order, URL-seen set) with no Spark anywhere. It shares the
+pure functions ``canon1`` / ``resolve_href`` / ``extract1`` /
+``extract_hrefs`` / ``parse_robots`` / ``robots_allowed`` with the engine,
+so the two implementations can only diverge in *orchestration* — which is
+precisely what the fetch-order and seen-set equality tests pin down.
+
+Correctness claims validated against this oracle (tests/test_crawl_order.py):
+  - identical fetch sequence (round, sched_unix, host, url_canon, status)
+  - identical final URL-seen set
+  - identical per-URL extracted text (byte-for-byte)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..config import CrawlConfig
+from ..functions.robots import parse_robots, path_of, robots_allowed
+from ..functions.textextract import extract1, extract_hrefs
+from ..functions.urlnorm import host_of, resolve_href
+
+
+@dataclass
+class OracleFetch:
+    round: int
+    seq_in_host: int
+    sched_unix: int
+    host: str
+    url_canon: str
+    status: int
+    text: str
+
+
+@dataclass
+class FrontierRow:
+    url_canon: str
+    host: str
+    depth: int
+    next_fetch_unix: int
+
+
+@dataclass
+class OracleResult:
+    fetches: list[OracleFetch]
+    seen: set[str]
+    frontier: dict[str, FrontierRow] = field(default_factory=dict)
+
+
+def crawl(
+    pages: dict[str, bytes],
+    robots_src: dict[str, bytes],
+    seeds: list[str],
+    config: CrawlConfig,
+    n_rounds: int,
+) -> OracleResult:
+    """Run rounds 1..n_rounds; round 0 is seed insertion (engine parity)."""
+    from ..functions.urlnorm import canon1
+
+    frontier: dict[str, FrontierRow] = {}
+    seen: set[str] = set()
+    robots_cache: dict[str, list[tuple[bool, str]] | None] = {}
+    fetches: list[OracleFetch] = []
+
+    # round 0: seed insertion (SRC5)
+    t0 = config.round_ts_unix(0)
+    # engine parity: seeds are canonicalized + deduped only — the config
+    # allow/deny chain applies at outlink discovery, not to seeds
+    for s in seeds:
+        cu = canon1(s)
+        if cu is None or cu in seen:
+            continue
+        seen.add(cu)
+        frontier[cu] = FrontierRow(cu, host_of(cu), 0, t0)
+
+    for round_id in range(1, n_rounds + 1):
+        round_ts = config.round_ts_unix(round_id)
+        due = [r for r in frontier.values() if r.next_fetch_unix <= round_ts]
+
+        # robots ensure (SRC3): fetch robots for hosts missing from cache
+        for r in due:
+            if r.host not in robots_cache:
+                body = robots_src.get(r.host)
+                robots_cache[r.host] = (
+                    parse_robots(body, config.user_agent)
+                    if body is not None
+                    else []
+                )
+
+        # robots filter (F4): denied rows leave the frontier permanently
+        allowed: list[FrontierRow] = []
+        for r in due:
+            rules = robots_cache[r.host]
+            if robots_allowed(rules, path_of(r.url_canon)):
+                allowed.append(r)
+            else:
+                del frontier[r.url_canon]
+
+        # global cap (W2) then per-host budget (W1), ordering pinned
+        allowed.sort(key=lambda r: (r.depth, r.next_fetch_unix, r.url_canon))
+        if config.max_urls_per_round is not None:
+            allowed = allowed[: config.max_urls_per_round]
+        per_host_rank: dict[str, int] = {}
+        scheduled: list[tuple[FrontierRow, int]] = []
+        for r in allowed:
+            rank = per_host_rank.get(r.host, 0) + 1
+            per_host_rank[r.host] = rank
+            if rank <= config.host_budget:
+                scheduled.append((r, rank))
+
+        # fetch + parse + discover
+        candidates: dict[str, int] = {}  # url_canon -> min depth
+        for r, rank in scheduled:
+            sched_unix = round_ts + (rank - 1) * config.delta_time_s
+            html = pages.get(r.url_canon)
+            status = 200 if html is not None else 404
+            text = None
+            if html is not None:
+                body = html[: config.max_doc_size]
+                text = extract1(body)
+                if r.depth + 1 <= config.max_hops:
+                    for href in extract_hrefs(body):
+                        cu = resolve_href(r.url_canon, href)
+                        if cu is None or not config.url_allowed(cu):
+                            continue
+                        d = r.depth + 1
+                        if cu not in candidates or d < candidates[cu]:
+                            candidates[cu] = d
+            fetches.append(
+                OracleFetch(
+                    round_id, rank, sched_unix, r.host, r.url_canon, status,
+                    text,
+                )
+            )
+            # revisit scheduling (Period)
+            frontier[r.url_canon] = FrontierRow(
+                r.url_canon, r.host, r.depth, sched_unix + config.period_s
+            )
+
+        # URL-seen test (J1) + frontier insertion
+        for cu, d in candidates.items():
+            if cu in seen:
+                continue
+            seen.add(cu)
+            frontier[cu] = FrontierRow(cu, host_of(cu), d, round_ts)
+
+    return OracleResult(fetches=fetches, seen=seen, frontier=frontier)
+
+
+def fetch_order_key(f: OracleFetch) -> tuple:
+    """Canonical comparison order for a round's fetches (engine parity)."""
+    return (f.round, f.sched_unix, f.host, f.url_canon)
+
+
+def load_fixture_dicts(web_dir: str):
+    """Read the webgen parquet fixtures into plain dicts (no Spark)."""
+    import pyarrow.parquet as pq
+
+    pages_t = pq.read_table(f"{web_dir}/pages.parquet", columns=["url", "html"])
+    pages = dict(
+        zip(pages_t["url"].to_pylist(), pages_t["html"].to_pylist())
+    )
+    robots_t = pq.read_table(f"{web_dir}/robots_src.parquet")
+    robots = dict(
+        zip(robots_t["host"].to_pylist(), robots_t["body"].to_pylist())
+    )
+    seeds_t = pq.read_table(f"{web_dir}/seeds.parquet")
+    seeds = seeds_t["url"].to_pylist()
+    return pages, robots, seeds

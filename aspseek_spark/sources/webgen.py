@@ -1,0 +1,236 @@
+"""Deterministic synthetic Common-Crawl-style web (FIXTURES.md family A).
+
+Generates the three fixture tables the crawl engine + oracle both consume:
+
+  pages(url, warc_ts, html, text, lang)   — input_hint shape, BASELINE.json:16
+  seeds(url)
+  robots_src(host, body)
+
+Everything is seeded (numpy PCG64, seed=42 by default) and wall-clock free
+(timestamps derive from the fixed epoch 2026-01-01T00:00:00Z), so every run
+produces byte-identical parquet. Host sizes follow a zipf(a=1.3)-style skew
+so one hot host exercises salting + AQE skew handling (SURVEY.md §4).
+
+The ``text`` column is the golden extracted text — computed at generation
+time by the same ``extract1`` the engine runs, making the byte-identical
+invariant checkable end to end.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..config import EPOCH_UNIX
+from ..functions.textextract import extract1
+
+_LANGS = ["en", "de", "fr", "es", "cs"]
+_WORDS = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu "
+    "xi omicron pi rho sigma tau upsilon phi chi psi omega search engine "
+    "crawler frontier politeness robots index page host link anchor"
+).split()
+
+
+@dataclass
+class WebSpec:
+    n_pages: int = 1000
+    seed: int = 42
+    mean_outlinks: int = 8
+    dup_frac: float = 0.05  # pages sharing identical body (clone detection)
+    dead_frac: float = 0.06  # hrefs pointing at non-existent pages (404 path)
+    private_frac: float = 0.15  # pages living under /private/ (robots target)
+    disallow_private_frac: float = 0.20  # hosts whose robots deny /private/
+    disallow_all_frac: float = 0.02  # hosts whose robots deny everything
+    seed_hosts_frac: float = 0.08  # hosts whose root URL is a crawl seed
+
+
+def _page_url(host: str, host_page_idx: int, rng: np.random.Generator) -> str:
+    r = rng.integers(0, 10)
+    if host_page_idx == 0:
+        return f"http://{host}/"
+    if r < 5:
+        return f"http://{host}/p{host_page_idx}.html"
+    if r < 7:
+        return f"http://{host}/dir{int(rng.integers(1, 4))}/p{host_page_idx}.html"
+    if r < 8:
+        return f"http://{host}/private/p{host_page_idx}.html"
+    if r < 9:
+        return f"http://{host}/p{host_page_idx}.html?ref={int(rng.integers(0, 5))}"
+    return f"http://{host}/dir1/sub/p{host_page_idx}.html"
+
+
+def _messy_variant(url: str, rng: np.random.Generator) -> str:
+    """Emit a non-canonical variant that canon1 maps back to ``url``."""
+    r = rng.integers(0, 6)
+    scheme, rest = url.split("://", 1)
+    host, _, path = rest.partition("/")
+    path = "/" + path
+    if r == 0:
+        return f"{scheme}://{host.upper()}{path}"
+    if r == 1:
+        return f"{scheme}://{host}:80{path}"
+    if r == 2:
+        return f"{url}#frag{int(rng.integers(0, 9))}"
+    if r == 3 and path.count("/") >= 2:
+        first, _, rem = path[1:].partition("/")
+        return f"{scheme}://{host}/{first}/../{first}/{rem}"
+    if r == 4:
+        return url.replace("p", "%70", 1) if "/p" in path else url
+    return url
+
+
+def generate_web(spec: WebSpec) -> dict[str, pa.Table]:
+    rng = np.random.default_rng(np.random.PCG64(spec.seed))
+    n = spec.n_pages
+    n_hosts = max(4, n // 50)
+    hosts = [f"h{i:04d}.test" for i in range(n_hosts)]
+
+    # zipf-style host weights (rank^-1.3, normalized) → skewed page counts
+    ranks = np.arange(1, n_hosts + 1, dtype=np.float64)
+    weights = ranks ** -1.3
+    weights /= weights.sum()
+    host_of_page = rng.choice(n_hosts, size=n, p=weights)
+
+    # per-host page index (deterministic order: page id ascending)
+    host_counters = np.zeros(n_hosts, dtype=np.int64)
+    urls: list[str] = []
+    page_hosts: list[str] = []
+    for pid in range(n):
+        h = int(host_of_page[pid])
+        urls.append(_page_url(hosts[h], int(host_counters[h]), rng))
+        page_hosts.append(hosts[h])
+        host_counters[h] += 1
+    # URL collisions possible only via rng path reuse — dedupe keeping first
+    seen_u: dict[str, int] = {}
+    keep = []
+    for i, u in enumerate(urls):
+        if u not in seen_u:
+            seen_u[u] = i
+            keep.append(i)
+    urls = [urls[i] for i in keep]
+    page_hosts = [page_hosts[i] for i in keep]
+    n = len(urls)
+    by_host: dict[str, list[int]] = {}
+    for i, h in enumerate(page_hosts):
+        by_host.setdefault(h, []).append(i)
+
+    # duplicate-content groups
+    n_dup = int(n * spec.dup_frac)
+    dup_source = rng.integers(0, n, size=n_dup)
+
+    # bodies + links
+    htmls: list[bytes] = []
+    texts: list[str] = []
+    langs: list[str] = []
+    warc_ts: list[int] = []
+    body_cache: dict[int, str] = {}
+    for i in range(n):
+        host = page_hosts[i]
+        same = by_host[host]
+        k = int(rng.poisson(spec.mean_outlinks))
+        hrefs: list[str] = []
+        for _ in range(k):
+            r = rng.random()
+            if r < 0.55 and len(same) > 1:  # same-host link, often relative
+                tgt = urls[same[int(rng.integers(0, len(same)))]]
+                tpath = tgt.split(host, 1)[1]
+                style = rng.integers(0, 3)
+                if style == 0:
+                    hrefs.append(tpath)  # absolute-path href
+                elif style == 1:
+                    hrefs.append(tpath.lstrip("/") or "./")  # relative
+                else:
+                    hrefs.append(_messy_variant(tgt, rng))
+            elif r < 0.55 + spec.dead_frac:
+                hrefs.append(
+                    f"http://{host}/missing{int(rng.integers(0, 10**6))}.html"
+                )
+            else:  # cross-host absolute
+                tgt = urls[int(rng.integers(0, n))]
+                hrefs.append(_messy_variant(tgt, rng))
+        anchors = "\n".join(
+            f'<a href="{h}">link {j}</a>' for j, h in enumerate(hrefs)
+        )
+        if i < n_dup:
+            src = int(dup_source[i])
+            body_words = body_cache.setdefault(
+                src,
+                " ".join(
+                    _WORDS[int(w)] for w in rng.integers(0, len(_WORDS), 40)
+                ),
+            )
+        else:
+            body_words = " ".join(
+                _WORDS[int(w)] for w in rng.integers(0, len(_WORDS), 40)
+            )
+        lang = _LANGS[int(rng.integers(0, len(_LANGS)))]
+        html = (
+            f"<html><head><title>Page {i} &amp; co</title>\n"
+            f'<meta name="description" content="synthetic page {i}">\n'
+            f"<style>.x{{color:red}}</style></head>\n"
+            f"<body><!-- comment {i} -->\n"
+            f"<script>var hidden={i};</script>\n"
+            f"<h1>Heading &#69;{i}</h1>\n<p>{body_words}</p>\n{anchors}\n"
+            f"</body></html>"
+        ).encode("utf-8")
+        htmls.append(html)
+        texts.append(extract1(html))
+        langs.append(lang)
+        warc_ts.append((EPOCH_UNIX - 86400 * 30 + i * 7) * 1_000_000)
+
+    # robots bodies
+    r_hosts: list[str] = []
+    r_bodies: list[bytes] = []
+    draw = rng.random(n_hosts)
+    for hi, host in enumerate(hosts):
+        if draw[hi] < spec.disallow_all_frac:
+            body = b"User-agent: *\nDisallow: /\n"
+        elif draw[hi] < spec.disallow_all_frac + spec.disallow_private_frac:
+            body = (
+                b"# synthetic robots\nUser-agent: repo-bot\n"
+                b"Disallow: /private/\nAllow: /private/open/\n\n"
+                b"User-agent: *\nDisallow: /dir2/\n"
+            )
+        else:
+            body = b"User-agent: *\nDisallow:\n"
+        r_hosts.append(host)
+        r_bodies.append(body)
+
+    # seeds: roots of the first seed_hosts_frac hosts (includes hot host 0)
+    n_seed_hosts = max(2, int(n_hosts * spec.seed_hosts_frac))
+    seed_urls = [f"http://{h}/" for h in hosts[:n_seed_hosts] if f"http://{h}/" in seen_u]
+
+    pages = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(warc_ts, pa.timestamp("us", tz="UTC")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+    seeds = pa.table({"url": pa.array(seed_urls, pa.string())})
+    robots_src = pa.table(
+        {
+            "host": pa.array(r_hosts, pa.string()),
+            "body": pa.array(r_bodies, pa.binary()),
+        }
+    )
+    return {"pages": pages, "seeds": seeds, "robots_src": robots_src}
+
+
+def write_web(out_dir: str, spec: WebSpec) -> dict[str, str]:
+    """Write the three fixture parquets; returns name→path. Idempotent."""
+    os.makedirs(out_dir, exist_ok=True)
+    tables = generate_web(spec)
+    paths = {}
+    for name, table in tables.items():
+        path = os.path.join(out_dir, f"{name}.parquet")
+        pq.write_table(table, path)
+        paths[name] = path
+    return paths

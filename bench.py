@@ -1,0 +1,163 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Headline set = the crawl engine (a multi-round crawl over a deterministic
+synthetic web sized to the sf) + representative driver-table operators
+(scan-agg, window, anti-join, dedup, ANN, postings). The crawl web fixture
+is generated once per scale and cached under .cache/ (deterministic
+seed=42, so the cache is reproducible).
+
+Extra top-level keys (crawl_urls_per_sec, cpus) give the north-star
+throughput number; BASELINE.md documents the local[8]-vs-local[32] scaling
+protocol (scripts/scaling_bench.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("aspseek_spark_bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def ensure_bench_web(sf: float) -> str:
+    """Deterministic synthetic web sized to the sf, cached on disk."""
+    from aspseek_spark.sources.webgen import WebSpec, write_web
+
+    n_pages = max(2000, int(300_000 * sf))
+    out = os.path.join(REPO, ".cache", f"web_n{n_pages}_s42")
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    write_web(out, WebSpec(n_pages=n_pages, seed=42))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def bench_crawl(spark, web_dir: str, n_rounds: int = 3) -> tuple[float, int]:
+    """Run a fresh multi-round crawl; returns (elapsed_s, urls_processed)."""
+    import tempfile
+
+    from aspseek_spark.config import CrawlConfig
+    from aspseek_spark.plans.crawl_loop import CrawlJob
+    from aspseek_spark.sources.tables import StateStore
+
+    cfg = CrawlConfig(
+        host_budget=64,
+        bloom_partitions=CPUS,
+        bloom_bits_per_partition=1 << 22,
+        bloom_num_hashes=7,
+        shuffle_partitions=CPUS,
+    )
+    state_root = tempfile.mkdtemp(prefix="aspseek_bench_state_")
+    store = StateStore(state_root, spark)
+    job = CrawlJob(
+        spark,
+        store,
+        cfg,
+        spark.read.parquet(f"{web_dir}/pages.parquet"),
+        spark.read.parquet(f"{web_dir}/robots_src.parquet"),
+    )
+    seeds = spark.read.parquet(f"{web_dir}/seeds.parquet")
+    t0 = time.time()
+    metrics = job.run(seeds, n_rounds)
+    elapsed = time.time() - t0
+    urls = sum(m["urls_scheduled"] + m["new_urls"] for m in metrics)
+    shutil.rmtree(state_root, ignore_errors=True)
+    return elapsed, urls
+
+
+def main():
+    import __spark_entry__ as entrymod
+
+    spark = build_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = sf_of(SF_DIR)
+
+    results: dict[str, float] = {}
+
+    # --- crawl engine (the north-star workload) ---
+    web_dir = ensure_bench_web(sf)
+    t_crawl, urls = bench_crawl(spark, web_dir, n_rounds=3)
+    results["crawl_3rounds"] = round(t_crawl, 3)
+    urls_per_sec = urls / t_crawl if t_crawl > 0 else 0.0
+
+    # --- representative operator queries on the driver tables ---
+    headline = [
+        "q01_pricing_summary",
+        "q05_top_orders_per_customer",
+        "q06_customers_without_orders",
+        "q07_exact_dedup_docs",
+        "q09_events_hourly",
+        "q15_token_stats",
+        "q23_ann_cosine_topk",
+        "q28_sessionize",
+        "q35_postings_and_phrase",
+        "q38_word_doc_freq",
+    ]
+    qs = entrymod.queries()
+    for name in headline:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        results[name] = round(time.time() - t0, 3)
+        assert n >= 0
+
+    total = round(sum(results.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+                "cpus": CPUS,
+                "crawl_urls_per_sec": round(urls_per_sec, 1),
+                "crawl_urls_processed": urls,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

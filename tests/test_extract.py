@@ -1,0 +1,61 @@
+"""Parser golden tests — the byte-for-byte contract (SURVEY.md §2.9, §5.3)."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+
+from aspseek_spark.functions.textextract import (
+    extract1,
+    extract_hrefs,
+    extract_title,
+)
+
+GOLDEN = [
+    (
+        b"<html><head><title>T &amp; t</title><style>x{}</style></head>"
+        b"<body><!-- c --><script>var x=1;</script>"
+        b"<p>Hello&nbsp;world &#65;&#x42;</p><a href='p1.html'>go</a>"
+        b"</body></html>",
+        "T & t Hello world AB go",
+    ),
+    (b"", ""),
+    (b"no tags at all", "no tags at all"),
+    (b"<p>a</p>\n\n<p>b</p>", "a b"),
+    (b"<SCRIPT>alert(1)</SCRIPT>visible", "visible"),
+    (b"<!-- <p>ghost</p> -->real", "real"),
+    (b"a &unknown; b &#999999999; c", "a &unknown; b &#999999999; c"),
+    ("café <b>naïve</b>".encode("utf-8"), "café naïve"),
+    (b"broken \xff utf8", "broken � utf8"),
+]
+
+
+def test_extract_golden():
+    for html, want in GOLDEN:
+        assert extract1(html) == want, html
+
+
+def test_extract_title():
+    assert extract_title(b"<title>A &amp; B</title>") == "A & B"
+    assert extract_title(b"<p>no title</p>") == ""
+
+
+def test_extract_hrefs_variants():
+    html = (
+        b'<a href="a.html">1</a>'
+        b"<a href='b.html'>2</a>"
+        b"<a href=c.html>3</a>"
+        b'<A HREF="D.html">4</A>'
+        b'<a name="x">no href</a>'
+        b'<script>document.write(\'<a href="ghost.html">\')</script>'
+        b'<!-- <a href="ghost2.html"> -->'
+    )
+    assert extract_hrefs(html) == ["a.html", "b.html", "c.html", "D.html"]
+
+
+def test_fixture_text_is_extract1_output(tiny_web):
+    """The generator's stored text column IS extract1(html) — golden link."""
+    t = pq.read_table(f"{tiny_web}/pages.parquet", columns=["html", "text"])
+    htmls = t["html"].to_pylist()
+    texts = t["text"].to_pylist()
+    for h, x in zip(htmls, texts):
+        assert extract1(h) == x
