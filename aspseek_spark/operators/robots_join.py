@@ -59,9 +59,15 @@ def fetch_missing_robots(
     ``hosts``: one column ``host`` (pre-deduplicated). Missing from
     robots_src = unfetchable robots (status 404 → allow-all empty rules).
     """
-    missing = hosts.select("host").distinct().join(
-        robots.select("host"), on="host", how="left_anti"
+    # the due-host set is bounded per round; the robots cache is the big
+    # side at 10^10 scale. Probe the small set INTO the cache (broadcast
+    # semi — cache only scanned, never shuffled), then broadcast-anti the
+    # confirmed hits out: no sort-merge exchange anywhere.
+    due_hosts = hosts.select("host").distinct()
+    cached = robots.select("host").join(
+        F.broadcast(due_hosts), on="host", how="left_semi"
     )
+    missing = due_hosts.join(F.broadcast(cached), on="host", how="left_anti")
     fetched = missing.join(robots_src, on="host", how="left")
 
     @F.pandas_udf(RULES_TYPE)

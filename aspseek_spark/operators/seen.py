@@ -75,19 +75,31 @@ def seen_filter_new(
     bloom_state: DataFrame,
     seen: DataFrame,
     config: CrawlConfig,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """The full two-stage URL-seen test → only definitely-new candidates.
 
-    Output keeps the candidate schema (pid/maybe_seen dropped).
+    Output keeps the candidate schema (pid/maybe_seen dropped). The probed
+    intermediate is persisted (consumed by both branches); the caller
+    unpersists it via ``persisted_out``.
     """
-    probed = bloom_probe(candidates, bloom_state, config)
+    probed = bloom_probe(candidates, bloom_state, config).persist()
+    if persisted_out is not None:
+        persisted_out.append(probed)
     cols = [c for c in probed.columns if c not in ("maybe_seen", "pid")]
     definite_new = probed.filter(~F.col("maybe_seen")).select(*cols)
     maybe = probed.filter(F.col("maybe_seen")).select(*cols)
-    # exact backstop: anti-join kills bloom false positives
-    survivors = maybe.join(
-        seen.select("url_canon"), on="url_canon", how="left_anti"
+    # exact backstop, shuffle-free: the maybe set is small (true dups were
+    # mostly killed upstream of this call only by the bloom — after steady
+    # state most maybes ARE seen; still bounded by the candidate batch), so
+    # probe it INTO the big seen table as a broadcast semi-join (seen is
+    # only SCANNED, never shuffled — at 10^10 rows that is the difference
+    # between a pruned columnar scan and a full-table sort-merge exchange),
+    # then kill the confirmed hits with a broadcast anti-join.
+    hits = seen.select("url_canon").join(
+        F.broadcast(maybe.select("url_canon")), on="url_canon", how="left_semi"
     )
+    survivors = maybe.join(F.broadcast(hits), on="url_canon", how="left_anti")
     return definite_new.unionByName(survivors)
 
 

@@ -70,10 +70,21 @@ class CrawlJob:
             frontier, seen, bloom, robots, self.pages, self.robots_src,
         )
 
+        import os
+
+        timing = os.environ.get("ASPSEEK_TIMING") == "1"
+        marks: list[tuple[str, float]] = [("plan", time.time() - t0)]
+
+        def mark(label: str) -> None:
+            if timing:
+                marks.append((label, time.time() - t0))
+
         # materialize the persisted intermediates once, before the writes
         # fan out, so no write job recomputes the shared upstream lineage
         n_sched = res.scheduled.count()
+        mark("scheduled.count")
         n_new = res.new_urls.count()
+        mark("new_urls.count")
 
         self.store.write_round(
             round_id, self.config,
@@ -83,13 +94,23 @@ class CrawlJob:
             robots_delta=res.robots_delta,
             fetched=res.fetched,
             metrics=None,  # written below from cheap committed-state counts
+            on_table_written=mark if timing else None,
         )
         # per-round lineage + metrics [B:14]
         n_ok = res.fetched.filter(F.col("status") == 200).count()
+        mark("n_ok.count")
         frontier_size = self.store.read_frontier(round_id).count()
+        mark("frontier.count")
         from ..operators.seen import bloom_metrics
 
         fill, bloom_keys = bloom_metrics(self.store.read_bloom(round_id))
+        mark("bloom.metrics")
+        if timing:
+            deltas = [
+                f"{label}+{t - prev:.1f}s"
+                for (label, t), (_, prev) in zip(marks, [("", 0.0)] + marks[:-1])
+            ]
+            print(f"[round {round_id} timing] " + " ".join(deltas), flush=True)
         elapsed = time.time() - t0
         metrics = {
             "round": round_id,

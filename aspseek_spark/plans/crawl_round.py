@@ -115,15 +115,28 @@ def run_round(
     # ---- W1/W2 politeness schedule
     # persisted: consumed by the fetch join, leftover anti-join, and revisit
     scheduled = schedule_round(allowed, config, round_ts).persist()
-    # due-but-over-budget rows stay in the frontier untouched for next round
+    # due-but-over-budget rows stay in the frontier untouched for next round;
+    # the scheduled batch is bounded (hosts × budget) → broadcast anti-join
     leftover = allowed.join(
-        scheduled.select("url_canon"), on="url_canon", how="left_anti"
+        F.broadcast(scheduled.select("url_canon")), on="url_canon", how="left_anti"
     )
 
     # ---- J3 fetch (simulated: equi-join against the pages corpus — the
-    # seam where a live mapInPandas HTTP connector would plug in)
+    # seam where a live mapInPandas HTTP connector would plug in).
+    # The corpus is the 100 TB side: broadcast the (bounded) scheduled batch
+    # INTO it so `pages` is scanned once and never shuffled; misses (=404)
+    # come from a second broadcast anti-join instead of an outer join, which
+    # would have forced a shuffle of the big side.
     pages_slim = pages.select(F.col("url").alias("url_canon"), "html")
-    raw = scheduled.join(pages_slim, on="url_canon", how="left").withColumn(
+    # persisted: the single pages scan feeds both the hit rows and the
+    # miss-detection anti-join below
+    found = pages_slim.join(
+        F.broadcast(scheduled), on="url_canon", how="inner"
+    ).persist()
+    misses = scheduled.join(
+        F.broadcast(found.select("url_canon")), on="url_canon", how="left_anti"
+    ).withColumn("html", F.lit(None).cast("binary"))
+    raw = found.unionByName(misses).withColumn(
         "status",
         F.when(F.col("html").isNotNull(), F.lit(200)).otherwise(F.lit(404)),
     )
@@ -173,7 +186,10 @@ def run_round(
 
     # ---- J1 URL-seen test (bloom + exact backstop) → definitely-new URLs
     # persisted: consumed by frontier rows, seen delta, and bloom add
-    new_urls = seen_filter_new(cand, bloom, seen, config).persist()
+    extra_persisted: list = []
+    new_urls = seen_filter_new(
+        cand, bloom, seen, config, persisted_out=extra_persisted
+    ).persist()
 
     new_frontier_rows = new_urls.select(
         "url_canon",
@@ -223,7 +239,8 @@ def run_round(
         robots_delta=robots_delta,
         fetched=fetched,
         round_ts=round_ts,
-        persisted=[parsed, scheduled, new_urls, robots_delta],
+        persisted=[parsed, scheduled, new_urls, robots_delta, found]
+        + extra_persisted,
         scheduled=scheduled,
         new_urls=new_urls,
     )

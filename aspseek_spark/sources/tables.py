@@ -120,15 +120,25 @@ class StateStore:
         robots_delta: DataFrame,
         fetched: DataFrame | None,
         metrics: DataFrame | None,
+        on_table_written=None,
     ) -> None:
+        def _done(label: str) -> None:
+            if on_table_written is not None:
+                on_table_written(f"write.{label}")
+
         frontier.write.mode("overwrite").parquet(self._p("frontier", round_id))
+        _done("frontier")
         bloom.write.mode("overwrite").parquet(self._p("bloom", round_id))
+        _done("bloom")
         seen_delta.write.mode("overwrite").parquet(self._p("seen_delta", round_id))
+        _done("seen_delta")
         robots_delta.write.mode("overwrite").parquet(
             self._p("robots_delta", round_id)
         )
+        _done("robots_delta")
         if fetched is not None:
             fetched.write.mode("overwrite").parquet(self._p("fetched", round_id))
+            _done("fetched")
         if metrics is not None:
             metrics.write.mode("overwrite").parquet(self._p("metrics", round_id))
         self._publish(round_id, config)

@@ -1,0 +1,70 @@
+"""Scaling-efficiency evidence for the north rule (BASELINE.json:2,14):
+
+the real criterion is throughput scaling efficiency ≥0.8 from N to 4N
+executors on a cluster; this sandbox has one machine, so — per the driver's
+instruction — we run the SAME crawl job on the SAME input at local[8] and
+local[32] (separate JVMs; warm-up rounds excluded on both sides
+identically) and report both throughputs plus
+efficiency = (throughput_32 / throughput_8) / 4.
+
+Run: python scripts/scaling_bench.py [sf_dir]     (default sf0.1)
+Writes results to stdout and BENCH_SCALING.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+
+def run_at(cpus: int) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=SF_DIR,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_CRAWL_ONLY="1",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(
+            f"bench at local[{cpus}] produced no JSON:\n{out.stdout[-2000:]}"
+            f"\n{out.stderr[-2000:]}"
+        )
+    return json.loads(lines[-1])
+
+
+def main():
+    r8 = run_at(8)
+    print(json.dumps(r8))
+    r32 = run_at(32)
+    print(json.dumps(r32))
+    eff = (r32["value"] / r8["value"]) / 4 if r8["value"] else 0.0
+    summary = {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round(eff, 3),
+        "throughput_local8_urls_per_sec": r8["value"],
+        "throughput_local32_urls_per_sec": r32["value"],
+        "sf": r8["sf"],
+        "gate": ">=0.8 would mean perfect 4x scaling; on one shared-memory "
+                "host the honest ceiling is lower — see BASELINE.md notes",
+        "pass_0_8": eff >= 0.8,
+    }
+    print(json.dumps(summary))
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+        json.dump({"local8": r8, "local32": r32, "summary": summary}, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,216 @@
+"""Operator-level tests: dedup family, similarity, postings, rank,
+multimodal plumbing, streaming parity (SURVEY.md §2 coverage)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy cat", "en"),  # near-dup of 0
+        (2, "completely different content about spark engines", "en"),
+        (3, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 0
+        (4, "der schnelle braune fuchs springt", "de"),
+        (5, "la table est grande et le chat est petit", "fr"),
+        (6, "spark engines process data in parallel clusters", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup(docs):
+    from aspseek_spark.operators.dedup import exact_dedup
+
+    out = exact_dedup(docs).collect()
+    assert len(out) == 6  # 7 docs, one exact dup
+    by_rep = {r["doc_id"]: r["dup_count"] for r in out}
+    assert by_rep[0] == 2  # docs 0+3 collapse, min id kept
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    from aspseek_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=32, bands=16, shingle_n=2, jaccard_threshold=0.5
+    ).collect()
+    got = {(r["a"], r["b"]) for r in pairs}
+    assert (0, 3) in got  # exact dup always found (jaccard 1.0)
+    assert (0, 1) in got or (1, 3) in got  # near-dup found
+    for r in pairs:
+        assert r["jaccard"] >= 0.5
+
+
+def test_minhash_agrees_with_exact_jaccard(docs):
+    from aspseek_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    exact = {
+        (r["a"], r["b"])
+        for r in ngram_jaccard_pairs(docs, shingle_n=2, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["a"], r["b"])
+        for r in minhash_lsh_pairs(
+            docs, num_hashes=32, bands=16, shingle_n=2, jaccard_threshold=0.5
+        ).collect()
+    }
+    # LSH's verified output must be a subset of ground truth; with 16 bands
+    # of 2 rows recall on >=0.5 pairs is ~1 at this scale → equality here
+    assert lsh == exact
+
+
+def test_simhash_identical_docs_same_hash(docs):
+    from aspseek_spark.operators.dedup import simhash
+
+    out = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert out[0] == out[3]
+    assert out[0] != out[2]
+
+
+def test_cosine_topk_and_knn(spark):
+    from aspseek_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_ann,
+        knn_join_bruteforce,
+        lsh_bucket_ann,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+        (4, [0.7, 0.7, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = cosine_topk_bruteforce(emb, [1.0, 0.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in top] == [0, 1]
+
+    knn = knn_join_bruteforce(emb, emb, k=1).collect()
+    nn = {r["qid"]: r["nid"] for r in knn}
+    assert nn[0] == 1 and nn[1] == 0
+
+    # LSH with one identity-ish hyperplane set: bucket of the query must
+    # contain vec 0/1/4 (positive x side)
+    hp = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    lsh = lsh_bucket_ann(emb, [1.0, 0.05, 0.0], hp, k=3).collect()
+    assert [r["vec_id"] for r in lsh][0] == 0
+
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    ivf = ivf_ann(emb, [1.0, 0.0, 0.0], cents, n_probe=1, k=2).collect()
+    assert [r["vec_id"] for r in ivf] == [0, 1]
+
+
+def test_postings_boolean_and_phrase(spark):
+    from aspseek_spark.operators.postings import (
+        build_postings,
+        docs_with_all,
+        docs_with_any,
+        docs_without,
+        phrase_match,
+        proximity_match,
+        word_doc_freq,
+    )
+
+    rows = [
+        (0, "spark streams data fast"),
+        (1, "spark processes data"),
+        (2, "slow batch processing"),
+        (3, "data spark data"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    p = build_postings(docs, "doc_id", "text")
+    assert {r["doc"] for r in docs_with_all(p, ["spark", "data"]).collect()} == {0, 1, 3}
+    assert {r["doc"] for r in docs_with_any(p, ["slow", "fast"]).collect()} == {0, 2}
+    base = docs_with_any(p, ["spark"])
+    assert {r["doc"] for r in docs_without(base, p, "fast").collect()} == {1, 3}
+    assert {r["doc"] for r in phrase_match(p, "spark", "data").collect()} == {3}
+    assert {r["doc"] for r in proximity_match(p, "spark", "data", 2).collect()} == {0, 1, 3}
+    dfreq = {r["word"]: r["df"] for r in word_doc_freq(p).collect()}
+    assert dfreq["spark"] == 3 and dfreq["data"] == 3
+
+
+def test_pagerank_sink_gets_rank(spark):
+    from aspseek_spark.operators.rank import pagerank
+
+    # star: 1,2,3 all point at 0; 0 points at 1
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (0, 1)], "src long, dst long"
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, n_iter=15).collect()}
+    assert ranks[0] > ranks[1] > ranks[2] - 1e-9
+    assert abs(sum(ranks.values()) - 4.0) < 0.05  # mass conserved
+
+
+def test_multimodal_plumbing(spark):
+    from aspseek_spark.operators.multimodal import (
+        extract_features,
+        make_synthetic_media,
+        resize_images,
+        sample_frames,
+    )
+
+    media = make_synthetic_media(spark, n=30)
+    feats = extract_features(media, strict=False).collect()
+    assert len(feats) == 30
+    assert all(len(r["features"]) == 16 for r in feats)
+    # deterministic: same payload → same features
+    again = extract_features(media, strict=False).collect()
+    assert {(r["media_id"], tuple(r["features"])) for r in feats} == {
+        (r["media_id"], tuple(r["features"])) for r in again
+    }
+    resized = resize_images(media, 64, 64).collect()
+    assert all(r["width"] == 64 for r in resized)
+    frames = sample_frames(media, every_ms=1000).collect()
+    assert len(frames) == 30  # 10 videos × 3 frames (3000ms / 1000)
+    with pytest.raises(Exception):
+        extract_features(media, strict=True).collect()
+
+
+def test_textstats_and_langid(spark):
+    from aspseek_spark.operators.textstats import lang_id, quality_score, token_count
+
+    rows = [
+        (0, "the cat is in the hat and it is a good day for the cat to nap"),
+        (1, "der hund und die katze das ist ein tag und der hund ist da"),
+        (2, "x" * 5),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    t = {r["doc_id"]: r["n_tokens"] for r in token_count(docs).collect()}
+    assert t[0] == 17 and t[2] == 1
+    langs = {r["doc_id"]: r["lang_pred"] for r in lang_id(docs).collect()}
+    assert langs[0] == "en" and langs[1] == "de" and langs[2] == "und"
+    q = {r["doc_id"]: r["quality_pass"] for r in quality_score(docs).collect()}
+    assert q[0] == 1 and q[2] == 0
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    from aspseek_spark.streaming.metrics_stream import (
+        read_fetched_stream,
+        run_stream_to_memory,
+        windowed_fetch_rates,
+        windowed_fetch_rates_batch,
+    )
+
+    rows = [
+        (1, f"http://h{i%3}.test/p{i}", i, f"h{i%3}.test", 1, 1,
+         1767225600 + i * 600, 200 if i % 4 else 404, 0, "x", "t", 2)
+        for i in range(24)
+    ]
+    cols = (
+        "round int, url_canon string, url_hash64 long, host string, "
+        "depth int, seq_in_host int, sched_unix long, status int, "
+        "content_crc long, content_md5 string, text string, n_links int"
+    )
+    fetched = spark.createDataFrame(rows, cols)
+    root = str(tmp_path / "fetched")
+    fetched.write.parquet(root + "/round=1")
+
+    stream = read_fetched_stream(spark, root)
+    got = run_stream_to_memory(
+        windowed_fetch_rates(stream), spark, "rates_test"
+    )
+    want = windowed_fetch_rates_batch(spark.read.parquet(root + "/round=1"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
