@@ -42,6 +42,14 @@ _HREF_RE = re.compile(
     rb"""<a\b[^>]*?\bhref\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I
 )
 _TITLE_RE = re.compile(rb"<title[^>]*>(.*?)</title\s*>", re.S | re.I)
+_CHARSET_RE = re.compile(rb"""charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)""", re.I)
+_REFRESH_RE = re.compile(
+    rb"""<meta\s[^>]*http-equiv\s*=\s*["']?refresh["']?[^>]*?"""
+    rb"""content\s*=\s*["']\s*\d+\s*;\s*url\s*=\s*([^"'>]+)["']""",
+    re.I,
+)
+_KNOWN_CHARSETS = {"utf-8", "utf8", "iso-8859-1", "latin-1", "latin1",
+                   "windows-1252", "us-ascii", "ascii"}
 
 
 def _decode_entity(m: re.Match) -> str:
@@ -59,6 +67,20 @@ def _decode_entity(m: re.Match) -> str:
     return _NAMED_ENTITIES.get(body, m.group(0))
 
 
+def sniff_charset(html: bytes) -> str:
+    """Charset from the first 1024 bytes' meta tags (reference S6 analog:
+    [R:src/charsets.cpp] converts per-page charset → Unicode). Unknown or
+    absent → utf-8."""
+    m = _CHARSET_RE.search(html[:1024])
+    if m:
+        cs = m.group(1).decode("ascii", "replace").lower()
+        if cs in _KNOWN_CHARSETS:
+            return "latin-1" if cs in ("iso-8859-1", "latin1", "windows-1252") else (
+                "ascii" if cs in ("us-ascii", "ascii") else "utf-8"
+            )
+    return "utf-8"
+
+
 def extract1(html: bytes) -> str:
     """Extract visible text from HTML bytes — the golden-pinned function."""
     if html is None:
@@ -66,10 +88,23 @@ def extract1(html: bytes) -> str:
     raw = _COMMENT_RE.sub(b" ", html)
     raw = _SCRIPT_RE.sub(b" ", raw)
     raw = _STYLE_RE.sub(b" ", raw)
-    s = raw.decode("utf-8", errors="replace")
+    s = raw.decode(sniff_charset(html), errors="replace")
     s = _TAG_RE.sub(" ", s)
     s = _ENTITY_RE.sub(_decode_entity, s)
     return _WS_RE.sub(" ", s).strip()
+
+
+def extract_redirect(html: bytes) -> str | None:
+    """Meta-refresh redirect target (J4 analog in the simulated-fetch world:
+    the reference follows HTTP 3xx; here a page whose only content is a
+    0-second meta refresh is treated as a redirect — target re-enters the
+    pipeline at the parent's depth, i.e. redirects cost no hop)."""
+    if html is None:
+        return None
+    m = _REFRESH_RE.search(html)
+    if not m:
+        return None
+    return m.group(1).decode("utf-8", errors="replace").strip() or None
 
 
 def extract_title(html: bytes) -> str:

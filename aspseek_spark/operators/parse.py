@@ -26,16 +26,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import CrawlConfig
-from ..functions.textextract import extract1, extract_hrefs
+from ..functions.textextract import extract1, extract_hrefs, extract_redirect
 from ..functions.urlnorm import resolve_href
 
-_PARSE_EXTRA = "text_extracted string, outlinks array<string>"
+_PARSE_EXTRA = (
+    "text_extracted string, outlinks array<string>, redirect_canon string"
+)
 
 
 def parse_fetched(df: DataFrame, config: CrawlConfig) -> DataFrame:
     """fetched pages (url_canon, html, depth, ...) → + text_extracted,
     outlinks (canonical, config-filtered, deduped in-page, document order
-    irrelevant downstream — candidates are re-deduped per round).
+    irrelevant downstream — candidates are re-deduped per round), and
+    redirect_canon (J4: meta-refresh target; a redirect page contributes no
+    text and no ordinary outlinks — the target re-enters the pipeline at
+    the parent's depth).
     """
     cfg_json = config.to_json()
     out_schema = ", ".join(
@@ -47,15 +52,27 @@ def parse_fetched(df: DataFrame, config: CrawlConfig) -> DataFrame:
         for pdf in batches:
             texts: list[str] = []
             links: list[list[str]] = []
+            redirects: list[str | None] = []
             for url, html, depth in zip(
                 pdf["url_canon"], pdf["html"], pdf["depth"]
             ):
                 if html is None:
                     texts.append(None)
                     links.append([])
+                    redirects.append(None)
                     continue
                 body = bytes(html)[: cfg.max_doc_size]
+                target = extract_redirect(body)
+                if target is not None:
+                    cu = resolve_href(url, target)
+                    if cu is not None and not cfg.url_allowed(cu):
+                        cu = None
+                    texts.append(None)
+                    links.append([])
+                    redirects.append(cu)
+                    continue
                 texts.append(extract1(body))
+                redirects.append(None)
                 if depth is not None and depth + 1 > cfg.max_hops:
                     links.append([])
                     continue
@@ -70,7 +87,9 @@ def parse_fetched(df: DataFrame, config: CrawlConfig) -> DataFrame:
                     seen_local.add(cu)
                     out.append(cu)
                 links.append(out)
-            yield pdf.assign(text_extracted=texts, outlinks=links)
+            yield pdf.assign(
+                text_extracted=texts, outlinks=links, redirect_canon=redirects
+            )
 
     return df.mapInPandas(_parse, schema=out_schema)
 

@@ -120,6 +120,81 @@ def proximity_match(postings: DataFrame, w1: str, w2: str, window: int) -> DataF
     )
 
 
+def expand_terms(
+    terms: list[str], form_map: dict[str, list[str]] | None = None
+) -> list[str]:
+    """S10 ispell-morphology analog ([R:src/spell.cpp]): a query word
+    expands to all its word forms before the posting probe. The form map is
+    a broadcast-sized dict (ispell dictionaries offline at scale); the
+    default map covers trivial English inflection so the operator is
+    exercised without dictionary files."""
+    out: list[str] = []
+    for t in terms:
+        t = t.lower()
+        out.append(t)
+        if form_map and t in form_map:
+            out.extend(w.lower() for w in form_map[t])
+        else:
+            # minimal rule-based fallback: plural/singular + -ing/-ed
+            if t.endswith("s") and len(t) > 3:
+                out.append(t[:-1])
+            else:
+                out.append(t + "s")
+    # preserve first-occurrence order, dedup (deterministic)
+    seen: set[str] = set()
+    uniq = []
+    for t in out:
+        if t not in seen:
+            seen.add(t)
+            uniq.append(t)
+    return uniq
+
+
+def docs_with_any_form(
+    postings: DataFrame, terms: list[str],
+    form_map: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """OR over morphology-expanded terms (S10 + SO5)."""
+    return docs_with_any(postings, expand_terms(terms, form_map))
+
+
+def write_postings_bucketed(
+    postings: DataFrame, path: str, n_buckets: int = 64
+) -> None:
+    """SNK2 main-index layout: postings partitioned by word-hash bucket so
+    a term probe prunes to one directory (the delta-file analog of
+    [R:src/deltas.cpp]'s per-word posting files). At real scale this is a
+    bucketed Iceberg table; here: partitioned parquet."""
+    (
+        postings.withColumn(
+            "word_bucket", F.pmod(F.xxhash64("word"), F.lit(n_buckets))
+        )
+        .repartition("word_bucket")
+        .write.mode("overwrite")
+        .partitionBy("word_bucket")
+        .parquet(path)
+    )
+
+
+def compact_postings(
+    spark, main_path: str, delta: DataFrame, out_path: str, n_buckets: int = 64
+) -> None:
+    """SNK2 LSM-style merge: realtime delta postings merged into the main
+    bucketed index (positions concatenated, tf summed) and rewritten —
+    the periodic `index` merge pass. Reads only the buckets the delta
+    touches at scale (partition pruning on word_bucket)."""
+    main = spark.read.parquet(main_path).drop("word_bucket")
+    merged = (
+        main.unionByName(delta)
+        .groupBy("doc", "word")
+        .agg(
+            F.sort_array(F.flatten(F.collect_list("positions"))).alias("positions"),
+            F.sum("tf").alias("tf"),
+        )
+    )
+    write_postings_bucketed(merged, out_path, n_buckets)
+
+
 def rank_results(
     scored: DataFrame,
     docs_meta: DataFrame | None = None,

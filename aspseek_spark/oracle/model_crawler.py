@@ -20,7 +20,7 @@ from dataclasses import dataclass, field
 
 from ..config import CrawlConfig
 from ..functions.robots import parse_robots, path_of, robots_allowed
-from ..functions.textextract import extract1, extract_hrefs
+from ..functions.textextract import extract1, extract_hrefs, extract_redirect
 from ..functions.urlnorm import host_of, resolve_href
 
 
@@ -120,6 +120,27 @@ def crawl(
             text = None
             if html is not None:
                 body = html[: config.max_doc_size]
+                target = extract_redirect(body)
+                if target is not None:
+                    # J4: redirect — no text indexed; target re-enters at
+                    # the parent's depth (no hop cost)
+                    status = 302
+                    cu = resolve_href(r.url_canon, target)
+                    if cu is not None and config.url_allowed(cu):
+                        d = r.depth
+                        if cu not in candidates or d < candidates[cu]:
+                            candidates[cu] = d
+                    fetches.append(
+                        OracleFetch(
+                            round_id, rank, sched_unix, r.host,
+                            r.url_canon, status, None,
+                        )
+                    )
+                    frontier[r.url_canon] = FrontierRow(
+                        r.url_canon, r.host, r.depth,
+                        sched_unix + config.period_s,
+                    )
+                    continue
                 text = extract1(body)
                 if r.depth + 1 <= config.max_hops:
                     for href in extract_hrefs(body):

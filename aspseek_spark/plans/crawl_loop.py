@@ -94,6 +94,7 @@ class CrawlJob:
             robots_delta=res.robots_delta,
             fetched=res.fetched,
             metrics=None,  # written below from cheap committed-state counts
+            links=res.links,
             on_table_written=mark if timing else None,
         )
         # per-round lineage + metrics [B:14]

@@ -48,6 +48,7 @@ class RoundResult:
     persisted: list = None
     scheduled: DataFrame = None
     new_urls: DataFrame = None
+    links: DataFrame = None  # crawl link graph delta (D5/J6)
 
 
 def init_state(
@@ -154,18 +155,36 @@ def run_round(
         "depth",
         "seq_in_host",
         F.col("sched_unix").cast("long").alias("sched_unix"),
-        "status",
+        # F7 status branches: 404 miss / 302 meta-refresh redirect / 200
+        F.when(F.col("status") == 404, F.lit(404))
+        .when(F.col("redirect_canon").isNotNull(), F.lit(302))
+        .otherwise(F.lit(200))
+        .alias("status"),
         "content_crc",
         "content_md5",
         F.col("text_extracted").alias("text"),
         F.size("outlinks").alias("n_links"),
     )
 
-    # ---- href explosion → candidates (canonical already; dedup per round)
+    # ---- href explosion → candidates (canonical already; dedup per round).
+    # J4: redirect targets re-enter at the PARENT depth (no hop cost);
+    # ordinary outlinks at depth+1.
     links = parsed.select(
         F.col("url_hash64").alias("origin_hash64"),
         (F.col("depth") + 1).alias("depth"),
         F.explode("outlinks").alias("url_canon"),
+    )
+    redirect_links = parsed.filter(F.col("redirect_canon").isNotNull()).select(
+        F.col("url_hash64").alias("origin_hash64"),
+        F.col("depth"),
+        F.col("redirect_canon").alias("url_canon"),
+    )
+    links = links.unionByName(redirect_links)
+    # D5/J6: persist the crawl link graph for `index -R` rank + lineage
+    link_graph = links.select(
+        F.col("origin_hash64").alias("src_hash64"),
+        F.xxhash64("url_canon").alias("dst_hash64"),
+        F.lit(round_id).alias("round"),
     )
     cand = (
         links.groupBy("url_canon")
@@ -243,4 +262,5 @@ def run_round(
         + extra_persisted,
         scheduled=scheduled,
         new_urls=new_urls,
+        links=link_graph,
     )

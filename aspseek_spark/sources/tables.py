@@ -120,6 +120,7 @@ class StateStore:
         robots_delta: DataFrame,
         fetched: DataFrame | None,
         metrics: DataFrame | None,
+        links: DataFrame | None = None,
         on_table_written=None,
     ) -> None:
         def _done(label: str) -> None:
@@ -139,6 +140,9 @@ class StateStore:
         if fetched is not None:
             fetched.write.mode("overwrite").parquet(self._p("fetched", round_id))
             _done("fetched")
+        if links is not None:
+            links.write.mode("overwrite").parquet(self._p("links", round_id))
+            _done("links")
         if metrics is not None:
             metrics.write.mode("overwrite").parquet(self._p("metrics", round_id))
         self._publish(round_id, config)
@@ -192,4 +196,14 @@ class StateStore:
 
     def read_metrics(self, upto_round: int) -> DataFrame:
         paths = self._delta_paths("metrics", upto_round)
+        return self.spark.read.parquet(*paths)
+
+    def read_links(self, upto_round: int) -> DataFrame:
+        """Crawl link graph (src_hash64, dst_hash64, round) — `index -R`
+        input (SURVEY.md D5/J6/A5)."""
+        paths = self._delta_paths("links", upto_round)
+        if not paths:
+            return self.spark.createDataFrame(
+                [], "src_hash64 long, dst_hash64 long, round int"
+            )
         return self.spark.read.parquet(*paths)

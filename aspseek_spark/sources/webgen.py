@@ -47,6 +47,8 @@ class WebSpec:
     disallow_private_frac: float = 0.20  # hosts whose robots deny /private/
     disallow_all_frac: float = 0.02  # hosts whose robots deny everything
     seed_hosts_frac: float = 0.08  # hosts whose root URL is a crawl seed
+    redirect_frac: float = 0.03  # meta-refresh redirect pages (J4/F7 path)
+    latin1_frac: float = 0.03  # iso-8859-1 pages (S6 charset conversion)
 
 
 def _page_url(host: str, host_page_idx: int, rng: np.random.Generator) -> str:
@@ -169,15 +171,34 @@ def generate_web(spec: WebSpec) -> dict[str, pa.Table]:
                 _WORDS[int(w)] for w in rng.integers(0, len(_WORDS), 40)
             )
         lang = _LANGS[int(rng.integers(0, len(_LANGS)))]
-        html = (
-            f"<html><head><title>Page {i} &amp; co</title>\n"
-            f'<meta name="description" content="synthetic page {i}">\n'
-            f"<style>.x{{color:red}}</style></head>\n"
-            f"<body><!-- comment {i} -->\n"
-            f"<script>var hidden={i};</script>\n"
-            f"<h1>Heading &#69;{i}</h1>\n<p>{body_words}</p>\n{anchors}\n"
-            f"</body></html>"
-        ).encode("utf-8")
+        kind = rng.random()
+        if kind < spec.redirect_frac and n > 1:
+            # meta-refresh redirect page (J4/F7): target is another page
+            tgt = urls[int(rng.integers(0, n))]
+            html = (
+                f"<html><head><title>Moved {i}</title>\n"
+                f'<meta http-equiv="refresh" content="0;url={tgt}">\n'
+                f"</head><body>Redirecting to new location</body></html>"
+            ).encode("utf-8")
+        elif kind < spec.redirect_frac + spec.latin1_frac:
+            # iso-8859-1 page (S6 charset sniff path): é as 0xE9 byte
+            html = (
+                f"<html><head><title>Café {i}</title>\n"
+                f'<meta http-equiv="Content-Type" '
+                f'content="text/html; charset=iso-8859-1"></head>\n'
+                f"<body><p>Résumé naïve café — {body_words}</p>\n"
+                f"{anchors}\n</body></html>"
+            ).encode("iso-8859-1", errors="replace")
+        else:
+            html = (
+                f"<html><head><title>Page {i} &amp; co</title>\n"
+                f'<meta name="description" content="synthetic page {i}">\n'
+                f"<style>.x{{color:red}}</style></head>\n"
+                f"<body><!-- comment {i} -->\n"
+                f"<script>var hidden={i};</script>\n"
+                f"<h1>Heading &#69;{i}</h1>\n<p>{body_words}</p>\n{anchors}\n"
+                f"</body></html>"
+            ).encode("utf-8")
         htmls.append(html)
         texts.append(extract1(html))
         langs.append(lang)

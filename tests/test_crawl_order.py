@@ -108,6 +108,44 @@ def test_max_hops_never_exceeded(engine_run, test_config):
     assert mx <= test_config.max_hops
 
 
+def test_redirects_followed_without_hop_cost(engine_run, oracle_run):
+    """J4: 302 rows exist, match the oracle, and contribute no text."""
+    eng = _engine_fetches(engine_run)
+    eng302 = [e for e in eng if e["status"] == 302]
+    ora302 = [f for f in oracle_run.fetches if f.status == 302]
+    assert len(eng302) == len(ora302) > 0, "fixture should contain redirects"
+    assert all(e["text"] is None for e in eng302)
+
+
+def test_link_graph_written(engine_run):
+    """D5/J6: the crawl emits its link graph for `index -R` rank."""
+    links = engine_run.read_links(N_ROUNDS)
+    n = links.count()
+    assert n > 50
+    assert links.columns == ["src_hash64", "dst_hash64", "round"]
+    # every src is a fetched page
+    fetched_hashes = engine_run.read_fetched(N_ROUNDS).select(
+        F.col("url_hash64").alias("src_hash64")
+    )
+    orphans = links.select("src_hash64").distinct().join(
+        fetched_hashes.distinct(), "src_hash64", "left_anti"
+    )
+    assert orphans.count() == 0
+
+
+def test_crawl_rank_runs(engine_run):
+    """A5 `index -R` over the crawl's own link graph."""
+    from aspseek_spark.operators.rank import crawl_link_rank
+
+    ranks = crawl_link_rank(
+        engine_run.read_links(N_ROUNDS).select("src_hash64", "dst_hash64")
+    )
+    rows = ranks.collect()
+    assert len(rows) > 50
+    total = sum(r["rank"] for r in rows)
+    assert abs(total - len(rows)) / len(rows) < 0.1  # mass ≈ conserved
+
+
 def test_seen_monotone_and_frontier_subset(engine_run):
     seen = engine_run.read_seen(N_ROUNDS)
     assert seen.count() == seen.select("url_canon").distinct().count()

@@ -7,7 +7,9 @@ import pyarrow.parquet as pq
 from aspseek_spark.functions.textextract import (
     extract1,
     extract_hrefs,
+    extract_redirect,
     extract_title,
+    sniff_charset,
 )
 
 GOLDEN = [
@@ -50,6 +52,32 @@ def test_extract_hrefs_variants():
         b'<!-- <a href="ghost2.html"> -->'
     )
     assert extract_hrefs(html) == ["a.html", "b.html", "c.html", "D.html"]
+
+
+def test_sniff_charset_and_latin1_decode():
+    l1 = (
+        '<html><head><meta http-equiv="Content-Type" '
+        'content="text/html; charset=iso-8859-1"></head>'
+        "<body>caf\xe9 r\xe9sum\xe9</body></html>"
+    ).encode("iso-8859-1")
+    assert sniff_charset(l1) == "latin-1"
+    assert extract1(l1) == "café résumé"
+    assert sniff_charset(b"<html>no meta</html>") == "utf-8"
+    assert sniff_charset(b'<meta charset="UTF-8">') == "utf-8"
+    # unknown charset falls back to utf-8
+    assert sniff_charset(b'<meta charset="koi8-r">') == "utf-8"
+
+
+def test_extract_redirect():
+    r = (
+        b"<html><head><meta http-equiv=\"refresh\" "
+        b"content=\"0;url=http://t.test/x.html\"></head>"
+        b"<body>Redirecting</body></html>"
+    )
+    assert extract_redirect(r) == "http://t.test/x.html"
+    assert extract_redirect(b"<html><body>normal</body></html>") is None
+    r2 = b'<META HTTP-EQUIV="Refresh" CONTENT="5;url=/rel.html">'
+    assert extract_redirect(r2) == "/rel.html"
 
 
 def test_fixture_text_is_extract1_output(tiny_web):

@@ -132,6 +132,52 @@ def test_postings_boolean_and_phrase(spark):
     assert dfreq["spark"] == 3 and dfreq["data"] == 3
 
 
+def test_morphology_expand_and_query(spark):
+    from aspseek_spark.operators.postings import (
+        build_postings,
+        docs_with_any_form,
+        expand_terms,
+    )
+
+    assert expand_terms(["table"]) == ["table", "tables"]
+    assert expand_terms(["tables"]) == ["tables", "table"]
+    assert expand_terms(["run"], {"run": ["ran", "running"]}) == [
+        "run", "ran", "running",
+    ]
+    docs = spark.createDataFrame(
+        [(0, "many tables here"), (1, "one table"), (2, "no furniture")],
+        "doc_id long, text string",
+    )
+    p = build_postings(docs, "doc_id", "text")
+    got = {r["doc"] for r in docs_with_any_form(p, ["table"]).collect()}
+    assert got == {0, 1}
+
+
+def test_postings_bucketed_write_and_compact(spark, tmp_path):
+    from aspseek_spark.operators.postings import (
+        build_postings,
+        compact_postings,
+        write_postings_bucketed,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b a"), (1, "b c")], "doc_id long, text string"
+    )
+    p = build_postings(docs, "doc_id", "text")
+    main = str(tmp_path / "main")
+    write_postings_bucketed(p, main, n_buckets=4)
+    back = spark.read.parquet(main)
+    assert back.count() == p.count()
+
+    delta_docs = spark.createDataFrame([(0, "a d")], "doc_id long, text string")
+    delta = build_postings(delta_docs, "doc_id", "text")
+    out = str(tmp_path / "merged")
+    compact_postings(spark, main, delta, out, n_buckets=4)
+    merged = spark.read.parquet(out)
+    a0 = merged.filter("doc = 0 and word = 'a'").collect()[0]
+    assert a0["tf"] == 3  # 2 from main + 1 from delta
+
+
 def test_pagerank_sink_gets_rank(spark):
     from aspseek_spark.operators.rank import pagerank
 
