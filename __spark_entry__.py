@@ -508,6 +508,114 @@ def _q38_word_doc_freq(spark, sf_dir):
     )
 
 
+def _q39_proximity_match(spark, sf_dir):
+    # J8 general proximity (|pos_a - pos_b| <= 3) on documents
+    from aspseek_spark.operators.postings import build_postings, proximity_match
+
+    d = _t(spark, sf_dir, "documents")
+    p = build_postings(d, doc_col="doc_id", text_col="text")
+    return proximity_match(p, "table", "query", 3).select(
+        F.col("doc").alias("doc_id")
+    )
+
+
+def _q40_morphology_or(spark, sf_dir):
+    # S10 morphology expansion + OR probe; expansion is a deterministic
+    # constant, so the oracle states the expanded IN-list directly
+    from aspseek_spark.operators.postings import build_postings, docs_with_any_form
+
+    d = _t(spark, sf_dir, "documents")
+    p = build_postings(d, doc_col="doc_id", text_col="text")
+    return docs_with_any_form(p, ["table", "queries"]).select(
+        F.col("doc").alias("doc_id"), F.col("score").cast("long").alias("score")
+    )
+
+
+def _q41_streaming_hourly(spark, sf_dir):
+    # §2.10: the same hourly rollup as q09 executed through Structured
+    # Streaming (availableNow file source → memory sink); oracle = q09's SQL
+    schema = _t(spark, sf_dir, "events").schema
+    # file stream source needs a directory: point at sf_dir, glob the file
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = (
+        stream.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("q41_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql("SELECT * FROM q41_out")
+
+
+def _q42_rollup_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+def _q43_embedding_neardup(spark, sf_dir):
+    # embedding-cosine near-dup pairs (driver brief), exact on a subset
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    t = e.select(F.col("vec_id").alias("k"), v.alias("v"))
+    dot = F.aggregate(
+        F.zip_with(F.col("x.v"), F.col("y.v"), lambda a, b: a * b),
+        F.lit(0.0), lambda acc, z: acc + z,
+    )
+    nx = F.sqrt(F.aggregate(F.transform(F.col("x.v"), lambda a: a * a), F.lit(0.0), lambda acc, z: acc + z))
+    ny = F.sqrt(F.aggregate(F.transform(F.col("y.v"), lambda a: a * a), F.lit(0.0), lambda acc, z: acc + z))
+    return (
+        t.alias("x")
+        .join(t.alias("y"), F.col("x.k") < F.col("y.k"))
+        .select(
+            F.col("x.k").alias("a"),
+            F.col("y.k").alias("b"),
+            F.round(dot / (nx * ny), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.35)
+    )
+
+
+def _q44_ivf_ann(spark, sf_dir):
+    # IVF-style ANN (rows-only: centroid assignment chain, approximate)
+    from aspseek_spark.operators.similarity import ivf_ann
+
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = [
+        [(1.0 if i % 8 == c else 0.0) for i in range(64)] for c in range(4)
+    ]
+    return ivf_ann(e, ANN_QUERY_VEC, centroids, n_probe=2, k=10).select(
+        "vec_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def _q45_lsh_ann(spark, sf_dir):
+    # random-hyperplane LSH ANN (rows-only: approximate bucket probe)
+    from aspseek_spark.operators.similarity import lsh_bucket_ann
+
+    e = _t(spark, sf_dir, "embeddings")
+    hyperplanes = [
+        [((i * 7 + j * 13) % 11 - 5) / 5.0 for i in range(64)] for j in range(4)
+    ]
+    return lsh_bucket_ann(e, ANN_QUERY_VEC, hyperplanes, k=10).select(
+        "vec_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -548,6 +656,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_phrase_match": _q36_phrase_match,
         "q37_media_features": _q37_media_features,
         "q38_word_doc_freq": _q38_word_doc_freq,
+        "q39_proximity_match": _q39_proximity_match,
+        "q40_morphology_or": _q40_morphology_or,
+        "q41_streaming_hourly": _q41_streaming_hourly,
+        "q42_rollup_orders": _q42_rollup_orders,
+        "q43_embedding_neardup": _q43_embedding_neardup,
+        "q44_ivf_ann": _q44_ivf_ann,
+        "q45_lsh_ann": _q45_lsh_ann,
     }
 
 
@@ -841,6 +956,58 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT doc_id FROM pos
         """,
+        "q39_proximity_match": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split(text,' '), x -> x <> '') AS t
+                FROM documents
+            ), pos AS (
+                SELECT doc_id, i AS p, lower(t[i]) AS word
+                FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+            )
+            SELECT DISTINCT a.doc_id
+            FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+            WHERE a.word = 'table' AND b.word = 'query'
+              AND abs(a.p - b.p) <= 3
+        """,
+        "q40_morphology_or": """
+            WITH toks AS (
+                SELECT doc_id AS doc,
+                       lower(unnest(list_filter(string_split(text,' '),
+                                                x -> x <> ''))) AS word
+                FROM documents
+            )
+            SELECT doc AS doc_id, count(*)::BIGINT AS score
+            FROM toks
+            WHERE word IN ('table', 'tables', 'queries', 'querie')
+            GROUP BY doc
+        """,
+        "q41_streaming_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+                   event_type, count(*) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "q42_rollup_orders": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "q43_embedding_neardup": """
+            SELECT x.vec_id AS a, y.vec_id AS b,
+                   round(list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[])
+                         / (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[]))),
+                         6) AS cosine
+            FROM embeddings x JOIN embeddings y
+              ON x.vec_id < y.vec_id
+            WHERE x.vec_id < 200 AND y.vec_id < 200
+              AND round(list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[])
+                        / (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[]))
+                           * sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[]))),
+                        6) >= 0.35
+        """,
+        # q44_ivf_ann / q45_lsh_ann: rows-only (approximate ANN paths)
         # q37_media_features: rows-only (opaque binary plumbing, fake decode)
         "q38_word_doc_freq": """
             WITH toks AS (

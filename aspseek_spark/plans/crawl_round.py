@@ -109,7 +109,9 @@ def run_round(
     ).persist()  # consumed by this round's filter AND the snapshot write
     robots_all = robots.unionByName(robots_delta)
     flagged = robots_allow_filter(due, robots_all)
-    allowed = flagged.filter(F.col("robots_ok")).drop("robots_ok")
+    # persisted: consumed by the politeness schedule AND the leftover
+    # anti-join (frontier rewrite) — avoids re-running the robots UDF join
+    allowed = flagged.filter(F.col("robots_ok")).drop("robots_ok").persist()
     # robots-denied rows leave the frontier permanently (never fetched);
     # they remain in `seen`, so they are never re-discovered either.
 
@@ -258,7 +260,7 @@ def run_round(
         robots_delta=robots_delta,
         fetched=fetched,
         round_ts=round_ts,
-        persisted=[parsed, scheduled, new_urls, robots_delta, found]
+        persisted=[parsed, scheduled, new_urls, robots_delta, found, allowed]
         + extra_persisted,
         scheduled=scheduled,
         new_urls=new_urls,

@@ -63,7 +63,9 @@ def ensure_bench_web(sf: float) -> str:
     over a large frontier, not cold-start ramp)."""
     from aspseek_spark.sources.webgen import WebSpec, write_web
 
-    n_pages = max(2000, int(300_000 * sf))
+    n_pages = int(
+        os.environ.get("SPARK_GRAFT_WEB_PAGES", max(2000, int(300_000 * sf)))
+    )
     out = os.path.join(REPO, ".cache", f"web_n{n_pages}_s42_v3")
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):

@@ -28,6 +28,13 @@ def run_at(cpus: int) -> dict:
         SPARK_GRAFT_SF_DIR=SF_DIR,
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_CRAWL_ONLY="1",
+        # larger web than the per-round bench: the scaling criterion is
+        # about steady-state parallel work, so give each round enough of it
+        # (~150k pages → ~50k+ URLs/round) to expose the core count.
+        # MUST run on an otherwise idle machine — concurrent load on the
+        # shared host contaminates whichever leg runs during it.
+        SPARK_GRAFT_WEB_PAGES=os.environ.get("SPARK_GRAFT_WEB_PAGES", "150000"),
+        SPARK_GRAFT_TIMED_ROUNDS=os.environ.get("SPARK_GRAFT_TIMED_ROUNDS", "3"),
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],

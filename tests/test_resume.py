@@ -31,15 +31,19 @@ def _fetch_seq(store):
     return sorted(tuple(r) for r in rows)
 
 
-def test_kill_after_commit_resumes_identically(
-    spark, tiny_web, test_config, tmp_path_factory
-):
-    # uninterrupted reference run
-    job_a, seeds, store_a = _mk_job(
-        spark, tiny_web, test_config, str(tmp_path_factory.mktemp("a"))
+@pytest.fixture(scope="module")
+def reference_run(spark, tiny_web, test_config, tmp_path_factory):
+    """Uninterrupted N_ROUNDS run — the ground truth both tests compare to."""
+    job, seeds, store = _mk_job(
+        spark, tiny_web, test_config, str(tmp_path_factory.mktemp("ref"))
     )
-    job_a.run(seeds, N_ROUNDS)
+    job.run(seeds, N_ROUNDS)
+    return store
 
+
+def test_kill_after_commit_resumes_identically(
+    spark, tiny_web, test_config, tmp_path_factory, reference_run
+):
     # interrupted run: stop ("kill") after round 1's commit, then a fresh
     # CrawlJob over the same store resumes from the manifest
     root_b = str(tmp_path_factory.mktemp("b"))
@@ -47,16 +51,26 @@ def test_kill_after_commit_resumes_identically(
     job_b1.run(seeds_b, 1)
     assert store_b.last_committed_round() == 1
 
+    # fake a partial round-2 left by a crash BEFORE the manifest publish:
+    # data dirs exist, manifest still says round 1 → must stay invisible
+    import os
+
+    os.makedirs(os.path.join(root_b, "frontier", "round=2"), exist_ok=True)
+    with open(os.path.join(root_b, "frontier", "round=2", "junk"), "w") as f:
+        f.write("partial write from a crashed attempt")
+    assert store_b.last_committed_round() == 1
+
     job_b2, seeds_b2, store_b2 = _mk_job(spark, tiny_web, test_config, root_b)
     job_b2.run(seeds_b2, N_ROUNDS)
+    assert store_b2.last_committed_round() == N_ROUNDS
 
-    assert _fetch_seq(store_a) == _fetch_seq(store_b2)
-    seen_a = {r["url_canon"] for r in store_a.read_seen(N_ROUNDS).collect()}
+    assert _fetch_seq(reference_run) == _fetch_seq(store_b2)
+    seen_a = {r["url_canon"] for r in reference_run.read_seen(N_ROUNDS).collect()}
     seen_b = {r["url_canon"] for r in store_b2.read_seen(N_ROUNDS).collect()}
     assert seen_a == seen_b
     fr_a = sorted(
         tuple(r)
-        for r in store_a.read_frontier(N_ROUNDS)
+        for r in reference_run.read_frontier(N_ROUNDS)
         .select("url_canon", "depth", "next_fetch_unix")
         .collect()
     )
@@ -69,29 +83,13 @@ def test_kill_after_commit_resumes_identically(
     assert fr_a == fr_b
 
 
-def test_mid_round_kill_leaves_state_invisible(
-    spark, tiny_web, test_config, tmp_path_factory
+def test_streaming_face_matches_plain_loop(
+    spark, tiny_web, test_config, tmp_path_factory, reference_run
 ):
-    """A crash before the manifest publish must not change visible state:
-    simulate by writing round files without publishing, then resuming."""
-    import os
-
-    root = str(tmp_path_factory.mktemp("c"))
+    """The Structured-Streaming foreachBatch face commits the same rounds
+    with identical results (SURVEY.md §2.10)."""
+    root = str(tmp_path_factory.mktemp("stream"))
     job, seeds, store = _mk_job(spark, tiny_web, test_config, root)
-    job.run(seeds, 1)
-
-    # fake a partial round-2: data dirs exist, manifest still says round 1
-    os.makedirs(os.path.join(root, "frontier", "round=2"), exist_ok=True)
-    with open(os.path.join(root, "frontier", "round=2", "junk"), "w") as f:
-        f.write("partial write from a crashed attempt")
-    assert store.last_committed_round() == 1
-
-    job2, seeds2, store2 = _mk_job(spark, tiny_web, test_config, root)
-    job2.run(seeds2, N_ROUNDS)  # overwrites the partial dir, commits 2..3
-    assert store2.last_committed_round() == N_ROUNDS
-    # and the result equals a clean run
-    job_ref, seeds_ref, store_ref = _mk_job(
-        spark, tiny_web, test_config, str(tmp_path_factory.mktemp("d"))
-    )
-    job_ref.run(seeds_ref, N_ROUNDS)
-    assert _fetch_seq(store_ref) == _fetch_seq(store2)
+    job.run_streaming(seeds, N_ROUNDS)
+    assert store.last_committed_round() == N_ROUNDS
+    assert _fetch_seq(reference_run) == _fetch_seq(store)
