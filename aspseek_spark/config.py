@@ -46,6 +46,8 @@ class CrawlConfig:
     user_agent: str = "repo-bot"
     max_urls_per_round: int | None = None  # global round cap (W2); None = off
     round_interval_s: int = 3600  # wall-time advanced per micro-batch round
+    tag: int = 0  # tag assigned to URLs discovered by this crawl (ASPseek Tag)
+    tag_filter: int | None = None  # F9: crawl only this tag subset (index -t)
     # first-match-wins allow/deny chain (F1/F2); empty chain = allow all
     filters: tuple[FilterRule, ...] = ()
     default_allow: bool = True

@@ -66,9 +66,10 @@ def init_state(
         .withColumn("next_fetch_unix", F.lit(config.round_ts_unix(0)).cast("long"))
         .withColumn("round_added", F.lit(0))
         .withColumn("origin_hash64", F.lit(None).cast("long"))
+        .withColumn("tag", F.lit(config.tag))
         .select(
             "url_canon", "url_hash64", "hash32", "host", "depth",
-            "next_fetch_unix", "round_added", "origin_hash64",
+            "next_fetch_unix", "round_added", "origin_hash64", "tag",
         )
     )
     empty_bloom_state = spark.createDataFrame([], BLOOM_SCHEMA)
@@ -99,9 +100,16 @@ def run_round(
 ) -> RoundResult:
     round_ts = config.round_ts_unix(round_id)
 
-    # ---- SRC1 frontier scan: due vs not-due (predicate pushes to parquet)
+    # ---- SRC1 frontier scan: due vs not-due (predicates push to parquet).
+    # F9 tag-subset (index -t): when tag_filter is set, only that tag's rows
+    # are even candidates; other tags stay in the frontier untouched.
     due = frontier.filter(F.col("next_fetch_unix") <= F.lit(round_ts))
     not_due = frontier.filter(F.col("next_fetch_unix") > F.lit(round_ts))
+    if config.tag_filter is not None:
+        not_due = not_due.unionByName(
+            due.filter(F.col("tag") != F.lit(config.tag_filter))
+        )
+        due = due.filter(F.col("tag") == F.lit(config.tag_filter))
 
     # ---- SRC3/J2/F4 robots: fetch missing hosts' robots, then filter
     robots_delta = fetch_missing_robots(
@@ -221,6 +229,7 @@ def run_round(
         F.lit(round_ts).cast("long").alias("next_fetch_unix"),
         F.lit(round_id).alias("round_added"),
         "origin_hash64",
+        F.lit(config.tag).alias("tag"),
     )
 
     # ---- revisit scheduling (Period): fetched URLs return to the frontier
@@ -235,11 +244,12 @@ def run_round(
         ),
         F.lit(round_id).alias("round_added"),
         "origin_hash64",
+        "tag",
     )
 
     frontier_cols = [
         "url_canon", "url_hash64", "hash32", "host", "depth",
-        "next_fetch_unix", "round_added", "origin_hash64",
+        "next_fetch_unix", "round_added", "origin_hash64", "tag",
     ]
     new_frontier = (
         not_due.select(*frontier_cols)

@@ -48,6 +48,7 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("next_fetch_unix", T.LongType()),
         T.StructField("round_added", T.IntegerType()),
         T.StructField("origin_hash64", T.LongType()),
+        T.StructField("tag", T.IntegerType()),
     ]
 )
 SEEN_SCHEMA = T.StructType(

@@ -83,6 +83,29 @@ def test_kill_after_commit_resumes_identically(
     assert fr_a == fr_b
 
 
+def test_tag_subset_filter(spark, tiny_web, test_config, tmp_path_factory):
+    """F9 (index -t): a crawl restricted to a different tag fetches nothing;
+    restricted to its own tag it behaves exactly like an unfiltered crawl."""
+    import dataclasses
+
+    cfg_same = dataclasses.replace(test_config, tag=5, tag_filter=5)
+    job_s, seeds_s, store_s = None, None, None
+    job, seeds, store = _mk_job(
+        spark, tiny_web, cfg_same, str(tmp_path_factory.mktemp("tag_same"))
+    )
+    m = job.run(seeds, 1)
+    assert m[0]["urls_scheduled"] > 0
+
+    cfg_other = dataclasses.replace(test_config, tag=5, tag_filter=7)
+    job2, seeds2, store2 = _mk_job(
+        spark, tiny_web, cfg_other, str(tmp_path_factory.mktemp("tag_other"))
+    )
+    m2 = job2.run(seeds2, 1)
+    assert m2[0]["urls_scheduled"] == 0
+    # the other-tag rows stayed in the frontier untouched
+    assert store2.read_frontier(1).count() == store2.read_frontier(0).count()
+
+
 def test_streaming_face_matches_plain_loop(
     spark, tiny_web, test_config, tmp_path_factory, reference_run
 ):
