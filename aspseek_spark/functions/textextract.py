@@ -81,17 +81,41 @@ def sniff_charset(html: bytes) -> str:
     return "utf-8"
 
 
+def _strip_noise(html: bytes) -> bytes:
+    """Comments, <script>, <style> → spaces (shared pre-pass)."""
+    raw = _COMMENT_RE.sub(b" ", html)
+    raw = _SCRIPT_RE.sub(b" ", raw)
+    return _STYLE_RE.sub(b" ", raw)
+
+
 def extract1(html: bytes) -> str:
     """Extract visible text from HTML bytes — the golden-pinned function."""
     if html is None:
         return ""
-    raw = _COMMENT_RE.sub(b" ", html)
-    raw = _SCRIPT_RE.sub(b" ", raw)
-    raw = _STYLE_RE.sub(b" ", raw)
-    s = raw.decode(sniff_charset(html), errors="replace")
+    s = _strip_noise(html).decode(sniff_charset(html), errors="replace")
     s = _TAG_RE.sub(" ", s)
     s = _ENTITY_RE.sub(_decode_entity, s)
     return _WS_RE.sub(" ", s).strip()
+
+
+def extract_text_and_hrefs(html: bytes) -> tuple[str, list[str]]:
+    """One-pass variant for the crawl hot path: identical output to
+    (extract1(html), extract_hrefs(html)) but strips comments/script/style
+    once instead of twice — the strip is the dominant regex cost."""
+    if html is None:
+        return "", []
+    raw = _strip_noise(html)
+    s = raw.decode(sniff_charset(html), errors="replace")
+    s = _TAG_RE.sub(" ", s)
+    s = _ENTITY_RE.sub(_decode_entity, s)
+    text = _WS_RE.sub(" ", s).strip()
+    hrefs: list[str] = []
+    for m in _HREF_RE.finditer(raw):
+        g = m.group(1) or m.group(2) or m.group(3) or b""
+        href = g.decode("utf-8", errors="replace").strip()
+        if href:
+            hrefs.append(href)
+    return text, hrefs
 
 
 def extract_redirect(html: bytes) -> str | None:
@@ -128,9 +152,7 @@ def extract_hrefs(html: bytes) -> list[str]:
     """
     if html is None:
         return []
-    raw = _COMMENT_RE.sub(b" ", html)
-    raw = _SCRIPT_RE.sub(b" ", raw)
-    raw = _STYLE_RE.sub(b" ", raw)
+    raw = _strip_noise(html)
     out: list[str] = []
     for m in _HREF_RE.finditer(raw):
         g = m.group(1) or m.group(2) or m.group(3) or b""

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import CrawlConfig
-from ..functions.textextract import extract1, extract_hrefs, extract_redirect
+from ..functions.textextract import extract_redirect, extract_text_and_hrefs
 from ..functions.urlnorm import resolve_href
 
 _PARSE_EXTRA = (
@@ -71,14 +71,15 @@ def parse_fetched(df: DataFrame, config: CrawlConfig) -> DataFrame:
                     links.append([])
                     redirects.append(cu)
                     continue
-                texts.append(extract1(body))
+                text, hrefs = extract_text_and_hrefs(body)
+                texts.append(text)
                 redirects.append(None)
                 if depth is not None and depth + 1 > cfg.max_hops:
                     links.append([])
                     continue
                 out: list[str] = []
                 seen_local: set[str] = set()
-                for href in extract_hrefs(body):
+                for href in hrefs:
                     cu = resolve_href(url, href)
                     if cu is None or cu in seen_local:
                         continue

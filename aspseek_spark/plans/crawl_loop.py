@@ -79,13 +79,12 @@ class CrawlJob:
             if timing:
                 marks.append((label, time.time() - t0))
 
-        # materialize the persisted intermediates once, before the writes
-        # fan out, so no write job recomputes the shared upstream lineage
-        n_sched = res.scheduled.count()
-        mark("scheduled.count")
-        n_new = res.new_urls.count()
-        mark("new_urls.count")
-
+        # materialize the whole round's lineage ONCE (frontier consumes every
+        # persisted intermediate) so the concurrent snapshot writes below are
+        # all cheap reads of cached data; its count doubles as the metric
+        res.frontier.persist()
+        frontier_size = res.frontier.count()
+        mark("frontier.materialize")
         self.store.write_round(
             round_id, self.config,
             frontier=res.frontier,
@@ -97,11 +96,13 @@ class CrawlJob:
             links=res.links,
             on_table_written=mark if timing else None,
         )
-        # per-round lineage + metrics [B:14]
+        # per-round lineage + metrics [B:14] — counts on persisted data
+        n_sched = res.scheduled.count()
+        mark("scheduled.count")
+        n_new = res.new_urls.count()
+        mark("new_urls.count")
         n_ok = res.fetched.filter(F.col("status") == 200).count()
         mark("n_ok.count")
-        frontier_size = self.store.read_frontier(round_id).count()
-        mark("frontier.count")
         from ..operators.seen import bloom_metrics
 
         fill, bloom_keys = bloom_metrics(self.store.read_bloom(round_id))
@@ -128,6 +129,7 @@ class CrawlJob:
         ).parquet(self.store._p("metrics", round_id))
         for df in res.persisted or []:
             df.unpersist()
+        res.frontier.unpersist()
         return metrics
 
     def run(self, seeds: DataFrame, n_rounds: int) -> list[dict]:

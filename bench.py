@@ -41,10 +41,13 @@ def sf_of(path: str) -> float:
 def build_spark(cpus: int):
     from pyspark.sql import SparkSession
 
+    # shuffle partitioning defaults to the core count but is overridable so
+    # scaling comparisons hold the PLAN constant and vary only parallelism
+    shuffle_p = os.environ.get("SPARK_GRAFT_SHUFFLE", str(cpus))
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("aspseek_spark_bench")
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.shuffle.partitions", shuffle_p)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -91,7 +94,7 @@ def bench_crawl(
 
     cfg = CrawlConfig(
         host_budget=64,
-        bloom_partitions=CPUS,
+        bloom_partitions=int(os.environ.get("SPARK_GRAFT_BLOOM_P", CPUS)),
         bloom_bits_per_partition=1 << 22,
         bloom_num_hashes=7,
         shuffle_partitions=CPUS,
