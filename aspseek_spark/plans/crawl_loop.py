@@ -79,9 +79,17 @@ class CrawlJob:
             if timing:
                 marks.append((label, time.time() - t0))
 
-        # materialize the whole round's lineage ONCE (frontier consumes every
-        # persisted intermediate) so the concurrent snapshot writes below are
-        # all cheap reads of cached data; its count doubles as the metric
+        # Materialize the persisted intermediates in DEPENDENCY ORDER as
+        # normal parallel jobs BEFORE anything broadcasts them: a broadcast
+        # exchange whose child is not yet cached executes the child inside
+        # the broadcast-build job, where AQE may have coalesced it to one
+        # partition — serializing the round's heaviest work on one core
+        # (observed: 20s single-task broadcast builds). With the cache
+        # populated, broadcast builds are just collects of cached blocks.
+        n_sched = res.scheduled.count()
+        mark("scheduled.materialize")
+        n_new = res.new_urls.count()
+        mark("new_urls.materialize")
         res.frontier.persist()
         frontier_size = res.frontier.count()
         mark("frontier.materialize")
@@ -97,10 +105,6 @@ class CrawlJob:
             on_table_written=mark if timing else None,
         )
         # per-round lineage + metrics [B:14] — counts on persisted data
-        n_sched = res.scheduled.count()
-        mark("scheduled.count")
-        n_new = res.new_urls.count()
-        mark("new_urls.count")
         n_ok = res.fetched.filter(F.col("status") == 200).count()
         mark("n_ok.count")
         from ..operators.seen import bloom_metrics

@@ -49,12 +49,24 @@ def build_spark(cpus: int):
         .appName("aspseek_spark_bench")
         .config("spark.sql.shuffle.partitions", shuffle_p)
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config(
+            # default OFF for the crawl: AQE's post-shuffle coalescing was
+            # observed collapsing window/agg stages to one partition inside
+            # broadcast-build jobs, serializing the round's heaviest work;
+            # the crawl's shuffles are sized by shuffle.partitions anyway
+            "spark.sql.adaptive.coalescePartitions.enabled",
+            os.environ.get("SPARK_GRAFT_COALESCE", "false"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        .config(
+            "spark.eventLog.enabled",
+            os.environ.get("SPARK_GRAFT_EVENTLOG", "false"),
+        )
+        .config("spark.eventLog.dir", os.path.join(REPO, ".cache", "events"))
         .getOrCreate()
     )
 
