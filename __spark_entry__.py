@@ -882,7 +882,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "q28_sessionize": """
-            SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+            SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*) AS n_events
             FROM (
                 SELECT user_id,
                        CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER (

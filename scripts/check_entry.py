@@ -6,6 +6,7 @@ records. Run: python scripts/check_entry.py [sf_dir]
 
 from __future__ import annotations
 
+import decimal
 import hashlib
 import sys
 import time
@@ -22,14 +23,23 @@ ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
 
 
 def norm_cell(v):
+    # Type-tagged so int 1 and float 1.0 hash DIFFERENTLY — the driver's
+    # value hash distinguishes them (q28 round-1 lesson: a %.9g reformat
+    # here let the local gate pass what the driver failed).
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return f"b:{int(v)}"
     if isinstance(v, float):
         if v != v:
-            return "NaN"
-        return f"{v:.9g}"
-    if isinstance(v, bool):
-        return str(int(v))
+            return "f:NaN"
+        return f"f:{v!r}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, decimal.Decimal):
+        # DuckDB DECIMAL vs Spark double is a real driver mismatch risk —
+        # surface it as its own tag so the query author adds a ::DOUBLE cast.
+        return f"d:{v}"
     return str(v)
 
 
