@@ -2,10 +2,11 @@
 
 ``queries()`` maps SURVEY.md §2 operators + the training-data pipeline ops
 (dedup / similarity / text analysis) onto the driver's parquet tables;
-``oracle_sql()`` gives the DuckDB-equivalent SQL for every SQL-expressible
-entry. Non-SQL-expressible ops (minhash/simhash — engine-specific hash
-functions; pagerank — iterative; multimodal — binary plumbing; streaming)
-are registered without an oracle → rows-only check, as the contract allows.
+``oracle_sql()`` gives the DuckDB-equivalent SQL for EVERY entry: hash-based
+operators (minhash/simhash/media) run in a portable md5-derived 60-bit hash
+mode reproducible in DuckDB, iterative pagerank is unrolled into chained
+CTEs, and the approximate-ANN paths use deterministic centroids/hyperplanes
+the oracle replays — so the driver's value-hash gate covers all 46 queries.
 
 Column names are aliased identically on both sides; doubles are rounded on
 both sides so value hashes are stable across engines; timestamps are
@@ -294,22 +295,34 @@ def _q20_bigram_jaccard_pairs(spark, sf_dir):
 
 
 def _q21_minhash_pairs(spark, sf_dir):
-    # MinHash+LSH near-dup (rows-only: xxhash64 is engine-specific)
+    # MinHash+LSH near-dup; hash_fn="md5" = the portable 60-bit hash, so
+    # the FULL pipeline (signatures → bands → buckets → candidate pairs →
+    # exact-Jaccard verify) is reproduced verbatim by the DuckDB oracle.
     from aspseek_spark.operators.dedup import minhash_lsh_pairs
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return minhash_lsh_pairs(
-        d, num_hashes=32, bands=16, shingle_n=2, jaccard_threshold=0.12
+        d, num_hashes=32, bands=16, shingle_n=2, jaccard_threshold=0.12,
+        hash_fn="md5",
     ).select("a", "b", F.round("est_jaccard", 4).alias("est_jaccard"),
              F.round("jaccard", 4).alias("jaccard"))
 
 
 def _q22_simhash_buckets(spark, sf_dir):
-    # SimHash near-dup clusters (rows-only: xxhash64 engine-specific)
+    # SimHash near-dup clusters; md5 60-bit mode → full DuckDB oracle
     from aspseek_spark.operators.dedup import simhash_buckets
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_buckets(d)
+    return simhash_buckets(d, hash_fn="md5")
+
+
+def _q46_simhash_near_pairs(spark, sf_dir):
+    # SimHash hamming≤3 near-dup pairs via banded 15-bit chunks (pigeonhole
+    # candidates, exact bit_count(xor) verify) — the distance>0 extension
+    from aspseek_spark.operators.dedup import simhash_near_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, max_hamming=3, n_chunks=4, hash_fn="md5")
 
 
 def _q23_ann_cosine_topk(spark, sf_dir):
@@ -450,7 +463,7 @@ def _q33_revenue_q6(spark, sf_dir):
 
 
 def _q34_pagerank_suppliers(spark, sf_dir):
-    # A5 iterative rank (rows-only: iterative, not ANSI-SQL-expressible)
+    # A5 iterative rank; oracle = 5 unrolled PageRank iterations in SQL
     from aspseek_spark.operators.rank import pagerank
 
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
@@ -484,7 +497,10 @@ def _q36_phrase_match(spark, sf_dir):
 
 
 def _q37_media_features(spark, sf_dir):
-    # multimodal plumbing (rows-only: opaque binary + fake decode stub)
+    # multimodal plumbing; the fake decoder is an md5 chain, so the oracle
+    # resynthesizes payloads from range(99) and verifies the actual feature
+    # values (feat_sum), not just the shape. The mapInPandas plumbing —
+    # schema, Arrow batches, binary column — is the real production path.
     from aspseek_spark.operators.multimodal import (
         extract_features,
         make_synthetic_media,
@@ -492,8 +508,16 @@ def _q37_media_features(spark, sf_dir):
 
     media = make_synthetic_media(spark, n=99, seed=42)
     out = extract_features(media, strict=False)
+    feat_sum = F.aggregate(
+        F.transform("features", lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     return out.select(
-        "media_id", "kind", F.size("features").alias("feature_dim")
+        "media_id",
+        "kind",
+        F.size("features").alias("feature_dim"),
+        F.round(feat_sum, 6).alias("feat_sum"),
     )
 
 
@@ -591,7 +615,8 @@ def _q43_embedding_neardup(spark, sf_dir):
 
 
 def _q44_ivf_ann(spark, sf_dir):
-    # IVF-style ANN (rows-only: centroid assignment chain, approximate)
+    # IVF-style ANN; deterministic centroids → the oracle replays the
+    # same argmin assignment + probe-cell filter in SQL
     from aspseek_spark.operators.similarity import ivf_ann
 
     e = _t(spark, sf_dir, "embeddings")
@@ -604,7 +629,8 @@ def _q44_ivf_ann(spark, sf_dir):
 
 
 def _q45_lsh_ann(spark, sf_dir):
-    # random-hyperplane LSH ANN (rows-only: approximate bucket probe)
+    # random-hyperplane LSH ANN; fixed hyperplanes → oracle replays the
+    # sign-bucket filter in SQL
     from aspseek_spark.operators.similarity import lsh_bucket_ann
 
     e = _t(spark, sf_dir, "embeddings")
@@ -663,7 +689,331 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_embedding_neardup": _q43_embedding_neardup,
         "q44_ivf_ann": _q44_ivf_ann,
         "q45_lsh_ann": _q45_lsh_ann,
+        "q46_simhash_near_pairs": _q46_simhash_near_pairs,
     }
+
+
+# --------------------------------------------------------------------------
+# generated oracle SQL — these mirror engine operators whose hash/iteration
+# structure is too large to hand-write: the SQL strings are BUILT with the
+# same constants the Spark queries use, so both sides share one source of
+# truth for seeds, band counts, centroids and damping.
+# --------------------------------------------------------------------------
+
+def _h60(expr: str) -> str:
+    """DuckDB twin of dedup._md5h60: 60-bit md5-derived hash."""
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+_SHINGLE_CTE = """
+        toks AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents WHERE doc_id < 200
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 2 THEN
+                       list_distinct(list_transform(
+                           generate_series(1, len(t)-1),
+                           i -> t[i] || ' ' || t[i+1]))
+                   ELSE [list_aggregate(t, 'string_agg', ' ')] END AS s
+            FROM toks
+        )"""
+
+
+def _minhash_oracle() -> str:
+    """Full MinHash-LSH mirror of _q21 (md5 60-bit mode): signatures →
+    16 bands × 2 rows → bucket join (a<b, distinct) → est + exact Jaccard."""
+    num_hashes, bands, threshold = 32, 16, 0.12
+    rpb = num_hashes // bands
+    sig_items = ",\n                ".join(
+        "list_min(list_transform(s, x -> "
+        + _h60(f"'{i}:' || x")
+        + "))"
+        for i in range(num_hashes)
+    )
+    band_cases = "\n                ".join(
+        "WHEN {b} THEN {h}".format(
+            b=b,
+            h=_h60(
+                "concat_ws(',', "
+                + ", ".join(f"sig[{b * rpb + r + 1}]" for r in range(rpb))
+                + ")"
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+        WITH {_SHINGLE_CTE},
+        sigs AS (
+            SELECT doc_id AS k,
+                   [{sig_items}] AS sig
+            FROM sh
+        ),
+        banded AS (
+            SELECT k, sig, b.band,
+                   CASE b.band
+                {band_cases}
+                   END AS bucket
+            FROM sigs, (SELECT unnest(range(0, {bands})) AS band) b
+        ),
+        cand AS (
+            SELECT DISTINCT l.k AS a, r.k AS b
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.bucket = r.bucket AND l.k < r.k
+        ),
+        est AS (
+            SELECT cand.a, cand.b,
+                   len(list_filter(range(1, {num_hashes + 1}),
+                                   i -> sa.sig[i] = sb.sig[i]))::DOUBLE
+                       / {num_hashes} AS est_jaccard
+            FROM cand JOIN sigs sa ON sa.k = cand.a
+                      JOIN sigs sb ON sb.k = cand.b
+        ),
+        ver AS (
+            SELECT e.a, e.b, e.est_jaccard,
+                   len(list_intersect(ga.s, gb.s))::DOUBLE
+                       / len(list_distinct(ga.s || gb.s)) AS jaccard
+            FROM est e JOIN sh ga ON ga.doc_id = e.a
+                       JOIN sh gb ON gb.doc_id = e.b
+        )
+        SELECT a, b, round(est_jaccard, 4) AS est_jaccard,
+               round(jaccard, 4) AS jaccard
+        FROM ver WHERE jaccard >= {threshold}
+    """
+
+
+def _simhash_oracle() -> str:
+    """Mirror of _q22: md5 60-bit simhash, hamming-0 buckets (size > 1)."""
+    return f"""
+        WITH dtoks AS (
+            SELECT doc_id,
+                   list_distinct(list_filter(string_split(text, ' '),
+                                             x -> x <> '')) AS t
+            FROM documents
+        ),
+        th AS (
+            SELECT doc_id, unnest(list_transform(t, x -> {_h60('x')})) AS hv
+            FROM dtoks
+        ),
+        votes AS (
+            SELECT doc_id, b.bit,
+                   sum(CASE WHEN (hv >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+            FROM th, (SELECT unnest(range(0, 60)) AS bit) b
+            GROUP BY doc_id, b.bit
+        ),
+        sims AS (
+            SELECT doc_id,
+                   sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT
+                       AS simhash
+            FROM votes GROUP BY doc_id
+        ),
+        allsim AS (
+            SELECT d.doc_id, coalesce(s.simhash, 0)::BIGINT AS simhash
+            FROM documents d LEFT JOIN sims s USING (doc_id)
+        )
+        SELECT simhash, count(*) AS n_docs, min(doc_id) AS rep
+        FROM allsim GROUP BY simhash HAVING count(*) > 1
+    """
+
+
+def _simhash_near_oracle() -> str:
+    """Mirror of _q46: banded 15-bit chunks → candidates → exact hamming
+    via bit_count(xor), distance ≤ 3."""
+    n_chunks, width, max_h = 4, 15, 3
+    chunk_cases = "\n                ".join(
+        f"WHEN {c} THEN (simhash >> {c * width}) & {(1 << width) - 1}"
+        for c in range(n_chunks)
+    )
+    return f"""
+        WITH dtoks AS (
+            SELECT doc_id,
+                   list_distinct(list_filter(string_split(text, ' '),
+                                             x -> x <> '')) AS t
+            FROM documents
+        ),
+        th AS (
+            SELECT doc_id, unnest(list_transform(t, x -> {_h60('x')})) AS hv
+            FROM dtoks
+        ),
+        votes AS (
+            SELECT doc_id, b.bit,
+                   sum(CASE WHEN (hv >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+            FROM th, (SELECT unnest(range(0, 60)) AS bit) b
+            GROUP BY doc_id, b.bit
+        ),
+        sims AS (
+            SELECT doc_id,
+                   sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT
+                       AS simhash
+            FROM votes GROUP BY doc_id
+        ),
+        allsim AS (
+            SELECT d.doc_id AS k, coalesce(s.simhash, 0)::BIGINT AS simhash
+            FROM documents d LEFT JOIN sims s USING (doc_id)
+        ),
+        chunked AS (
+            SELECT k, simhash, c.chunk,
+                   CASE c.chunk
+                {chunk_cases}
+                   END AS cval
+            FROM allsim, (SELECT unnest(range(0, {n_chunks})) AS chunk) c
+        ),
+        cand AS (
+            SELECT DISTINCT l.k AS a, r.k AS b,
+                   l.simhash AS sh_a, r.simhash AS sh_b
+            FROM chunked l JOIN chunked r
+              ON l.chunk = r.chunk AND l.cval = r.cval AND l.k < r.k
+        )
+        SELECT a, b, bit_count(xor(sh_a, sh_b)) AS hamming
+        FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_h}
+    """
+
+
+def _pagerank_oracle(n_iter: int = 5, damping: float = 0.85) -> str:
+    """Mirror of _q34: n_iter unrolled PageRank iterations with dangling
+    mass, exactly the arithmetic of operators/rank.pagerank (init 1.0,
+    new = (1-d) + d*(in_sum + dangling/n))."""
+    one_minus_d = repr(1.0 - damping)  # repr: bit-exact match with F.lit
+    parts = [
+        """
+        WITH edges AS (
+            SELECT DISTINCT l_suppkey AS src, l_partkey AS dst
+            FROM lineitem WHERE l_orderkey < 2000
+        ), nodes AS (
+            SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        ), deg AS (
+            SELECT src, count(*) AS out_deg FROM edges GROUP BY src
+        ), nn AS (
+            SELECT count(*)::DOUBLE AS n FROM nodes
+        ), r0 AS (
+            SELECT node, 1.0::DOUBLE AS pr FROM nodes
+        )"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(f""", d{i} AS (
+            SELECT coalesce(sum(pr), 0.0) AS dm FROM r{i - 1}
+            WHERE node NOT IN (SELECT src FROM deg)
+        ), c{i} AS (
+            SELECT e.dst AS node, sum(r.pr / g.out_deg) AS in_sum
+            FROM edges e JOIN r{i - 1} r ON e.src = r.node
+                         JOIN deg g ON e.src = g.src
+            GROUP BY e.dst
+        ), r{i} AS (
+            SELECT n.node,
+                   {one_minus_d} + {damping!r} * (coalesce(c.in_sum, 0.0)
+                       + (SELECT dm FROM d{i}) / (SELECT n FROM nn)) AS pr
+            FROM nodes n LEFT JOIN c{i} c ON n.node = c.node
+        )""")
+    parts.append(
+        f'\n        SELECT node, round(pr, 6) AS "rank" FROM r{n_iter}'
+    )
+    return "".join(parts)
+
+
+def _media_oracle() -> str:
+    """Mirror of _q37: resynthesize the md5-chain payloads from range(99)
+    and recompute the fake-decoder features (multiples of 1/128 — exact in
+    both float32 and float64, so the sums match bit-for-bit)."""
+    h = _h60("hx || ':' || j")
+    feat = f"(({h} % 256 - 128) / 128.0)"
+    return f"""
+        WITH m AS (
+            SELECT media_id,
+                   CASE media_id % 3 WHEN 0 THEN 'image'
+                                     WHEN 1 THEN 'audio'
+                                     ELSE 'video' END AS kind,
+                   md5('42:' || media_id || ':payload') AS hx
+            FROM range(99) t(media_id)
+        )
+        SELECT media_id, kind, 16 AS feature_dim,
+               round(list_reduce(
+                   list_prepend(0.0::DOUBLE,
+                       list_transform(range(0, 16), j -> {feat})),
+                   (a, b) -> a + b), 6) AS feat_sum
+        FROM m
+    """
+
+
+def _vec_lit(v: list[float]) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in v) + "]::DOUBLE[]"
+
+
+def _ivf_oracle() -> str:
+    """Mirror of _q44: argmin-centroid assignment (first-min-wins ties,
+    sequential-fold squared L2 exactly like the Spark expression chain),
+    probe cells precomputed from the same constants, cosine top-10."""
+    centroids = [
+        [(1.0 if i % 8 == c else 0.0) for i in range(64)] for c in range(4)
+    ]
+    q = _VEC_SQL
+    dists = [
+        (i, sum((a - b) ** 2 for a, b in zip(ANN_QUERY_VEC, c)))
+        for i, c in enumerate(centroids)
+    ]
+    probe = sorted(dists, key=lambda t: t[1])[:2]
+    probe_ids = ", ".join(str(i) for i, _ in probe)
+    d_cols = ",\n                   ".join(
+        f"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), "
+        f"k -> (v[k] - ({_vec_lit(c)})[k]) * (v[k] - ({_vec_lit(c)})[k]))), "
+        f"(a, b) -> a + b) AS d{i}"
+        for i, c in enumerate(centroids)
+    )
+    return f"""
+        WITH v0 AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        d AS (
+            SELECT vec_id, v,
+                   {d_cols}
+            FROM v0
+        ),
+        cells AS (
+            SELECT vec_id, v,
+                   CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
+                        WHEN d1 <= d2 AND d1 <= d3 THEN 1
+                        WHEN d2 <= d3 THEN 2
+                        ELSE 3 END AS cell
+            FROM d
+        )
+        SELECT vec_id, round(cos, 6) AS cosine FROM (
+            SELECT vec_id,
+                   list_dot_product(v, {q})
+                       / (sqrt(list_dot_product(v, v))
+                          * sqrt(list_dot_product({q}, {q}))) AS cos
+            FROM cells WHERE cell IN ({probe_ids})
+        ) ORDER BY cos DESC, vec_id ASC LIMIT 10
+    """
+
+
+def _lsh_ann_oracle() -> str:
+    """Mirror of _q45: sign-bit bucket vs fixed hyperplanes, query bucket
+    and query norm precomputed from the same constants, cosine top-10."""
+    import math
+
+    hyperplanes = [
+        [((i * 7 + j * 13) % 11 - 5) / 5.0 for i in range(64)] for j in range(4)
+    ]
+    qsig = 0
+    for j, h in enumerate(hyperplanes):
+        if sum(a * b for a, b in zip(ANN_QUERY_VEC, h)) >= 0:
+            qsig |= 1 << j
+    qn = repr(math.sqrt(sum(x * x for x in ANN_QUERY_VEC)))
+    bucket = " + ".join(
+        f"CASE WHEN list_dot_product(v, {_vec_lit(h)}) >= 0 "
+        f"THEN {1 << j} ELSE 0 END"
+        for j, h in enumerate(hyperplanes)
+    )
+    return f"""
+        SELECT vec_id,
+               round(list_dot_product(v, {_VEC_SQL})
+                     / (sqrt(list_dot_product(v, v)) * {qn}), 6) AS cosine
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        WHERE ({bucket}) = {qsig}
+        ORDER BY list_dot_product(v, {_VEC_SQL})
+                 / (sqrt(list_dot_product(v, v)) * {qn}) DESC,
+                 vec_id ASC
+        LIMIT 10
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -834,8 +1184,8 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.k = b
             WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.12
         """,
-        # q21_minhash_pairs: rows-only (xxhash64 minhash is engine-specific)
-        # q22_simhash_buckets: rows-only (same)
+        "q21_minhash_pairs": _minhash_oracle(),
+        "q22_simhash_buckets": _simhash_oracle(),
         "q23_ann_cosine_topk": f"""
             SELECT vec_id,
                    round(list_dot_product(embedding::DOUBLE[], {_VEC_SQL})
@@ -930,7 +1280,7 @@ def oracle_sql() -> dict[str, str]:
               AND l_discount BETWEEN 0.02 AND 0.06
               AND l_quantity < 24
         """,
-        # q34_pagerank_suppliers: rows-only (iterative algorithm)
+        "q34_pagerank_suppliers": _pagerank_oracle(),
         "q35_postings_and_phrase": """
             WITH toks AS (
                 SELECT doc_id AS doc,
@@ -1007,8 +1357,10 @@ def oracle_sql() -> dict[str, str]:
                            * sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[]))),
                         6) >= 0.35
         """,
-        # q44_ivf_ann / q45_lsh_ann: rows-only (approximate ANN paths)
-        # q37_media_features: rows-only (opaque binary plumbing, fake decode)
+        "q37_media_features": _media_oracle(),
+        "q44_ivf_ann": _ivf_oracle(),
+        "q45_lsh_ann": _lsh_ann_oracle(),
+        "q46_simhash_near_pairs": _simhash_near_oracle(),
         "q38_word_doc_freq": """
             WITH toks AS (
                 SELECT doc_id AS doc,

@@ -29,6 +29,32 @@ from pyspark.sql import functions as F
 from .textstats import tokens_col
 
 
+def _md5h60(col):
+    """Portable 60-bit hash: first 15 hex chars of md5, parsed base-16.
+
+    Still pure JVM codegen on the Spark side (md5 + conv), and exactly
+    reproducible in DuckDB as ``('0x' || substr(md5(x), 1, 15))::BIGINT`` —
+    which is what makes the minhash/simhash driver queries fully
+    SQL-oracle-able (round-1 verdict gap). xxhash64 stays the default for
+    the scale path (faster); both hash families give identical dedup
+    SEMANTICS, only the bucket identities differ.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _make_hasher(hash_fn: str):
+    """(col, seed|None) → 64/60-bit hash column for the chosen family."""
+    if hash_fn == "xxhash64":
+        return lambda c, seed=None: (
+            F.xxhash64(c) if seed is None else F.xxhash64(c, F.lit(seed))
+        )
+    if hash_fn == "md5":
+        return lambda c, seed=None: _md5h60(
+            c if seed is None else F.concat(F.lit(f"{seed}:"), c)
+        )
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
 def exact_dedup(df: DataFrame, key: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One row per distinct text; representative = min key (deterministic).
     Adds dup_count. Reference J5 semantics: first-seen wins."""
@@ -60,19 +86,22 @@ def shingles_col(text_col: str = "text", n: int = 3):
 
 def minhash_signatures(
     df: DataFrame, key: str = "doc_id", text_col: str = "text",
-    num_hashes: int = 32, shingle_n: int = 3,
+    num_hashes: int = 32, shingle_n: int = 3, hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(key, sig array<long>) — sig[i] = min over shingles of
-    xxhash64(shingle, seed=i). Pure column expressions: the shingle array
-    and all K hash functions run inside whole-stage codegen."""
+    hash(shingle, seed=i). Pure column expressions: the shingle array
+    and all K hash functions run inside whole-stage codegen.
+    hash_fn="md5" uses the portable 60-bit hash (DuckDB-reproducible)."""
+    hasher = _make_hasher(hash_fn)
     sh = shingles_col(text_col, shingle_n)
+
+    def _seeded(i):
+        # factory, not a default arg: F.transform inspects lambda arity and
+        # would pass the ARRAY INDEX into a second parameter
+        return lambda s: hasher(s, i)
+
     sig = F.array(
-        *[
-            F.array_min(
-                F.transform(sh, lambda s: F.xxhash64(s, F.lit(i)))
-            )
-            for i in range(num_hashes)
-        ]
+        *[F.array_min(F.transform(sh, _seeded(i))) for i in range(num_hashes)]
     )
     return df.select(F.col(key), sig.alias("sig"))
 
@@ -80,15 +109,16 @@ def minhash_signatures(
 def minhash_lsh_pairs(
     df: DataFrame, key: str = "doc_id", text_col: str = "text",
     num_hashes: int = 32, bands: int = 8, shingle_n: int = 3,
-    jaccard_threshold: float = 0.5,
+    jaccard_threshold: float = 0.5, hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup candidate pairs via banded LSH, verified with exact Jaccard.
 
     Returns (a, b, est_jaccard, jaccard) with a < b, jaccard ≥ threshold.
     """
     assert num_hashes % bands == 0
+    hasher = _make_hasher(hash_fn)
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, key, text_col, num_hashes, shingle_n)
+    sigs = minhash_signatures(df, key, text_col, num_hashes, shingle_n, hash_fn)
 
     banded = sigs.select(
         F.col(key).alias("k"),
@@ -98,7 +128,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
+                        hasher(
                             F.concat_ws(
                                 ",",
                                 *[
@@ -162,11 +192,18 @@ def minhash_lsh_pairs(
     return out
 
 
-def simhash(df: DataFrame, key: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit simhash: per-token xxhash64, sum ±1 per bit over tokens, sign
-    → bit. Implemented as 64 column expressions (codegen; no Python)."""
+def simhash(
+    df: DataFrame, key: str = "doc_id", text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Simhash: per-token hash, sum ±1 per bit over tokens, sign → bit.
+    Implemented as N column expressions (codegen; no Python).
+    hash_fn="xxhash64" → 64 bits (scale default); "md5" → 60 bits,
+    exactly reproducible in the DuckDB oracle."""
+    hasher = _make_hasher(hash_fn)
+    n_bits = 60 if hash_fn == "md5" else 64
     toks = F.array_distinct(tokens_col(text_col))
-    h = F.transform(toks, lambda t: F.xxhash64(t))
+    h = F.transform(toks, lambda t: hasher(t))
     bit_cols = []
 
     def _voter(m):
@@ -175,7 +212,7 @@ def simhash(df: DataFrame, key: str = "doc_id", text_col: str = "text") -> DataF
             x.bitwiseAND(F.lit(m).cast("long")) != 0, 1
         ).otherwise(-1)
 
-    for b in range(64):
+    for b in range(n_bits):
         # bit 63 is the sign bit: 1<<63 overflows a signed long literal
         mask = (1 << b) if b < 63 else -(1 << 63)
         votes = F.aggregate(h, F.lit(0), _voter(mask))
@@ -188,14 +225,78 @@ def simhash(df: DataFrame, key: str = "doc_id", text_col: str = "text") -> DataF
     return df.select(F.col(key), sim.alias("simhash"))
 
 
-def simhash_buckets(df: DataFrame, key: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash_buckets(
+    df: DataFrame, key: str = "doc_id", text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     """Groups of documents sharing an identical simhash (near-dup clusters
-    at hamming distance 0; banded chunks extend to distance>0)."""
-    s = simhash(df, key, text_col)
+    at hamming distance 0; simhash_near_pairs extends to distance>0)."""
+    s = simhash(df, key, text_col, hash_fn)
     return (
         s.groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.min(key).alias("rep"))
         .filter(F.col("n_docs") > 1)
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame, key: str = "doc_id", text_col: str = "text",
+    max_hamming: int = 3, n_chunks: int = 4, hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Near-dup pairs at hamming distance ≤ max_hamming via banded chunks.
+
+    Pigeonhole: if two hashes differ in ≤ max_hamming < n_chunks bits, at
+    least one of the n_chunks equal-width chunks is identical — so
+    candidates come from n_chunks bucket self-joins (one shuffle on
+    (chunk_id, chunk_value), never all-pairs), then exact hamming verify
+    via bit_count(xor) on candidates only. Same scale shape as MinHash-LSH.
+    """
+    assert max_hamming < n_chunks, "pigeonhole needs n_chunks > max_hamming"
+    n_bits = 60 if hash_fn == "md5" else 64
+    width = n_bits // n_chunks
+    s = simhash(df, key, text_col, hash_fn).select(
+        F.col(key).alias("k"), "simhash"
+    )
+    chunked = s.select(
+        "k",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned("simhash", c * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("cval"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select("k", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.cval").alias("cval"))
+    cand = (
+        chunked.alias("l")
+        .join(
+            chunked.alias("r"),
+            on=[
+                F.col("l.chunk") == F.col("r.chunk"),
+                F.col("l.cval") == F.col("r.cval"),
+                F.col("l.k") < F.col("r.k"),
+            ],
+        )
+        .select(
+            F.col("l.k").alias("a"),
+            F.col("r.k").alias("b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
     )
 
 

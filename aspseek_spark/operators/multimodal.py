@@ -19,7 +19,7 @@ executor memory.
 from __future__ import annotations
 
 from collections.abc import Iterator
-from hashlib import blake2b
+from hashlib import blake2b, md5
 
 import numpy as np
 import pandas as pd
@@ -34,10 +34,22 @@ FEATURE_DIM = 16
 
 
 def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
-    """Deterministic stand-in for a real decoder: blake2b bytes → floats.
-    STUB — replace with PIL/ffmpeg decode when codecs are available."""
-    d = blake2b(payload, digest_size=dim).digest()
-    return (np.frombuffer(d, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    """Deterministic stand-in for a real decoder: md5-chain bytes → floats.
+    STUB — replace with PIL/ffmpeg decode when codecs are available.
+
+    feature[j] = (md5(hex(payload) + ':' + j)[:15 hex] % 256 - 128) / 128 —
+    every value is a multiple of 1/128 (exact in float32 AND float64), and
+    the whole chain is reproducible in the DuckDB oracle via
+    ('0x'||substr(md5(...),1,15))::BIGINT, so the driver's q37 check can
+    verify actual feature values, not just the plumbing shape.
+    """
+    hx = bytes(payload).hex()
+    vals = [
+        (int(md5(f"{hx}:{j}".encode()).hexdigest()[:15], 16) % 256 - 128)
+        / 128.0
+        for j in range(dim)
+    ]
+    return np.asarray(vals, dtype=np.float32)
 
 
 def extract_features(
@@ -119,13 +131,14 @@ def sample_frames(
 
 
 def make_synthetic_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
-    """Deterministic opaque-binary media fixture for plumbing tests."""
-    rng = np.random.default_rng(seed)
+    """Deterministic opaque-binary media fixture for plumbing tests.
+    payload = md5(f"{seed}:{i}:payload") bytes — hex-reproducible in SQL so
+    the q37 oracle can resynthesize the exact payloads from ``range(n)``."""
     kinds = ["image", "audio", "video"]
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
-        payload = rng.integers(0, 256, size=64, dtype=np.uint8).tobytes()
+        payload = bytes.fromhex(md5(f"{seed}:{i}:payload".encode()).hexdigest())
         rows.append(
             (
                 i,
