@@ -56,6 +56,11 @@ class CrawlConfig:
     bloom_bits_per_partition: int = 1 << 20  # m per partition
     bloom_num_hashes: int = 7  # k
     shuffle_partitions: int = 32
+    # fetch-join strategy switch: batches up to this size broadcast into the
+    # pages scan (pages never shuffles); larger batches fall back to a
+    # shuffle-hash join — at real scale against a BUCKETED pages table the
+    # bucketed side still does not shuffle (see plans/crawl_round.py J3).
+    fetch_broadcast_limit: int = 2_000_000
 
     def __post_init__(self) -> None:
         if self.max_hops < 0 or self.delta_time_s < 0 or self.host_budget < 1:

@@ -34,8 +34,16 @@ def hash_pair(key: str) -> tuple[int, int]:
     )
 
 
-def bit_positions(keys: "np.ndarray | list[str]", m_bits: int, k: int) -> np.ndarray:
-    """(n, k) array of bit indices for each key. Vector math after hashing."""
+def hash_bases(keys: "list[str]") -> tuple[np.ndarray, np.ndarray]:
+    """(h1, h2) uint64 base arrays for a batch of keys (blake2b-derived).
+
+    Driver-side / oracle-side helper. The ENGINE does not call this on the
+    hot path: the Spark plan computes the two bases JVM-side as
+    ``xxhash64(url)`` / ``xxhash64('h2-salt', url)`` columns (codegen, no
+    per-row Python) and passes them into the blob UDFs — see
+    operators/seen.py. Both families give a valid double-hashing bloom;
+    they just produce different (equally correct) bit patterns.
+    """
     n = len(keys)
     h1 = np.empty(n, dtype=np.uint64)
     h2 = np.empty(n, dtype=np.uint64)
@@ -43,28 +51,46 @@ def bit_positions(keys: "np.ndarray | list[str]", m_bits: int, k: int) -> np.nda
         a, b = hash_pair(key)
         h1[i] = a
         h2[i] = b
+    return h1, h2
+
+
+def bit_positions_from_bases(
+    h1: np.ndarray, h2: np.ndarray, m_bits: int, k: int
+) -> np.ndarray:
+    """(n, k) bit indices via Kirsch-Mitzenmacher double hashing — pure
+    numpy vector math, no per-key Python loop."""
+    h1 = np.ascontiguousarray(h1).view(np.uint64) if h1.dtype != np.uint64 else h1
+    h2 = np.ascontiguousarray(h2).view(np.uint64) if h2.dtype != np.uint64 else h2
+    h2 = h2 | np.uint64(1)  # odd step → full period mod 2^64
     ks = np.arange(k, dtype=np.uint64)
     # broadcast: (n,1) + (n,1)*(k,) — uint64 wraparound is fine pre-modulo
-    pos = (h1[:, None] + h2[:, None] * ks[None, :]) % np.uint64(m_bits)
-    return pos
+    return (h1[:, None] + h2[:, None] * ks[None, :]) % np.uint64(m_bits)
 
 
-def bloom_set(bits: np.ndarray, keys, m_bits: int, k: int) -> np.ndarray:
-    """Set membership bits for ``keys`` in a uint8 bit array (in place)."""
-    if len(keys) == 0:
+def bit_positions(keys: "np.ndarray | list[str]", m_bits: int, k: int) -> np.ndarray:
+    """(n, k) array of bit indices for each key (string-key convenience)."""
+    h1, h2 = hash_bases(keys)
+    return bit_positions_from_bases(h1, h2, m_bits, k)
+
+
+def bloom_set(bits: np.ndarray, h1: np.ndarray, h2: np.ndarray,
+              m_bits: int, k: int) -> np.ndarray:
+    """Set membership bits for hashed keys in a uint8 bit array (in place)."""
+    if len(h1) == 0:
         return bits
-    pos = bit_positions(keys, m_bits, k).ravel()
+    pos = bit_positions_from_bases(h1, h2, m_bits, k).ravel()
     np.bitwise_or.at(bits, pos >> np.uint64(3),
                      np.left_shift(np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)))
     return bits
 
 
-def bloom_test(bits: np.ndarray, keys, m_bits: int, k: int) -> np.ndarray:
+def bloom_test(bits: np.ndarray, h1: np.ndarray, h2: np.ndarray,
+               m_bits: int, k: int) -> np.ndarray:
     """Boolean membership vector — True = *maybe* seen (no false negatives)."""
-    n = len(keys)
+    n = len(h1)
     if n == 0:
         return np.zeros(0, dtype=bool)
-    pos = bit_positions(keys, m_bits, k)
+    pos = bit_positions_from_bases(h1, h2, m_bits, k)
     byte_idx = (pos >> np.uint64(3)).astype(np.int64)
     bit_mask = np.left_shift(np.uint8(1), (pos & np.uint64(7)).astype(np.uint8))
     hit = (bits[byte_idx] & bit_mask) != 0

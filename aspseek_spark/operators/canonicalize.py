@@ -33,7 +33,17 @@ def canon_udf(urls: pd.Series) -> pd.Series:
 
 @F.pandas_udf(T.StringType())
 def host_udf(url_canon: pd.Series) -> pd.Series:
+    # Arrow-batched twin of host_of — kept for API completeness; the hot
+    # paths use host_col (JVM regexp, codegen) instead.
     return url_canon.map(host_of, na_action="ignore")
+
+
+def host_col(url_canon: str | Column = "url_canon") -> Column:
+    """Host (incl. non-default port) of an already-CANONICAL url — pure JVM
+    regexp (codegen), equivalent to functions.urlnorm.host_of on canonical
+    input (scheme is http/https, host is lowercase, path always present)."""
+    c = F.col(url_canon) if isinstance(url_canon, str) else url_canon
+    return F.regexp_extract(c, r"^https?://([^/]+)", 1)
 
 
 def hash32_col(url_canon: str | Column = "url_canon") -> Column:
@@ -49,7 +59,7 @@ def with_canonical(df: DataFrame, url_col: str = "url") -> DataFrame:
     return (
         df.withColumn("url_canon", canon_udf(F.col(url_col)))
         .filter(F.col("url_canon").isNotNull())
-        .withColumn("host", host_udf(F.col("url_canon")))
+        .withColumn("host", host_col(F.col("url_canon")))
         .withColumn("url_hash64", hash64_col(F.col("url_canon")))
         .withColumn("hash32", hash32_col(F.col("url_canon")))
     )

@@ -30,7 +30,8 @@ from ..functions.textextract import extract_redirect, extract_text_and_hrefs
 from ..functions.urlnorm import resolve_href
 
 _PARSE_EXTRA = (
-    "text_extracted string, outlinks array<string>, redirect_canon string"
+    "text_extracted string, outlinks array<string>, redirect_canon string, "
+    "is_redirect boolean"
 )
 
 
@@ -53,6 +54,7 @@ def parse_fetched(df: DataFrame, config: CrawlConfig) -> DataFrame:
             texts: list[str] = []
             links: list[list[str]] = []
             redirects: list[str | None] = []
+            is_redir: list[bool] = []
             for url, html, depth in zip(
                 pdf["url_canon"], pdf["html"], pdf["depth"]
             ):
@@ -60,20 +62,27 @@ def parse_fetched(df: DataFrame, config: CrawlConfig) -> DataFrame:
                     texts.append(None)
                     links.append([])
                     redirects.append(None)
+                    is_redir.append(False)
                     continue
                 body = bytes(html)[: cfg.max_doc_size]
                 target = extract_redirect(body)
                 if target is not None:
+                    # a meta-refresh page IS a redirect (status 302, oracle
+                    # model_crawler.py:127 parity) even when the target is
+                    # unresolvable or dropped by the config filter chain —
+                    # only the candidate emission is nulled in that case
                     cu = resolve_href(url, target)
                     if cu is not None and not cfg.url_allowed(cu):
                         cu = None
                     texts.append(None)
                     links.append([])
                     redirects.append(cu)
+                    is_redir.append(True)
                     continue
                 text, hrefs = extract_text_and_hrefs(body)
                 texts.append(text)
                 redirects.append(None)
+                is_redir.append(False)
                 if depth is not None and depth + 1 > cfg.max_hops:
                     links.append([])
                     continue
@@ -89,7 +98,8 @@ def parse_fetched(df: DataFrame, config: CrawlConfig) -> DataFrame:
                     out.append(cu)
                 links.append(out)
             yield pdf.assign(
-                text_extracted=texts, outlinks=links, redirect_canon=redirects
+                text_extracted=texts, outlinks=links,
+                redirect_canon=redirects, is_redirect=is_redir,
             )
 
     return df.mapInPandas(_parse, schema=out_schema)

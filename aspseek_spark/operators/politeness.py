@@ -43,39 +43,79 @@ def _order() -> list:
     ]
 
 
-def schedule_round(
+def schedule_round_split(
     due: DataFrame, config: CrawlConfig, round_ts: int, salt_factor: int = 8
-) -> DataFrame:
-    """Due frontier rows → scheduled rows with seq_in_host + sched_unix.
+) -> tuple[DataFrame, DataFrame, list]:
+    """Due frontier rows → (scheduled, leftover, persisted).
+
+    scheduled: rows with seq_in_host ≤ budget + sched_unix.
+    leftover:  the due-but-over-budget complement, derived from the SAME
+               window ranks (rank > budget at either stage) — no anti-join,
+               no broadcast of the scheduled batch back into the frontier
+               rewrite (round-1 verdict fix: one fewer broadcast + join per
+               round, and correct at any batch size by construction).
+    persisted: intermediates the caller must unpersist after the commit.
 
     Input must have: url_canon, host, depth, next_fetch_unix.
     """
     b = config.host_budget
+    persisted: list[DataFrame] = []
 
     if config.max_urls_per_round is not None:
         # global round cap (W2): distributed TakeOrdered, not a 1-partition
-        # window — Spark plans sort+limit as TakeOrderedAndProject.
-        due = due.sort(*_order()).limit(config.max_urls_per_round)
+        # window — Spark plans sort+limit as TakeOrderedAndProject. Rows cut
+        # by the cap are leftover; the cap is config-bounded, so the
+        # anti-join's broadcast side is bounded by definition.
+        capped = due.sort(*_order()).limit(config.max_urls_per_round).persist()
+        persisted.append(capped)
+        cap_leftover = due.join(
+            F.broadcast(capped.select("url_canon")), "url_canon", "left_anti"
+        )
+        due = capped
+    else:
+        cap_leftover = None
 
-    # stage 1: salted local top-B (caps skew without changing semantics)
+    # stage 1: salted local top-B (caps skew without changing semantics).
+    # Persisted: both the survivors (→ stage 2) and the dropped rows
+    # (→ leftover) read it.
     salted = due.withColumn(
         "_salt", F.pmod(F.hash("url_canon"), F.lit(salt_factor))
     )
     w1 = Window.partitionBy("host", "_salt").orderBy(*_order())
-    local_top = (
-        salted.withColumn("_rn1", F.row_number().over(w1))
-        .filter(F.col("_rn1") <= b)
-        .drop("_salt", "_rn1")
-    )
+    stage1 = salted.withColumn("_rn1", F.row_number().over(w1)).persist()
+    persisted.append(stage1)
 
-    # stage 2: exact per-host rank over ≤ S·B rows/host
+    # stage 2: exact per-host rank over ≤ S·B rows/host. Persisted: consumed
+    # by the fetch join / revisit (rank ≤ B) AND leftover (rank > B).
     w2 = Window.partitionBy("host").orderBy(*_order())
-    return (
-        local_top.withColumn("seq_in_host", F.row_number().over(w2))
-        .filter(F.col("seq_in_host") <= b)
-        .withColumn(
-            "sched_unix",
-            F.lit(round_ts)
-            + (F.col("seq_in_host") - F.lit(1)) * F.lit(config.delta_time_s),
-        )
+    stage2 = (
+        stage1.filter(F.col("_rn1") <= b)
+        .drop("_salt", "_rn1")
+        .withColumn("seq_in_host", F.row_number().over(w2))
+        .persist()
     )
+    persisted.append(stage2)
+
+    scheduled = stage2.filter(F.col("seq_in_host") <= b).withColumn(
+        "sched_unix",
+        F.lit(round_ts)
+        + (F.col("seq_in_host") - F.lit(1)) * F.lit(config.delta_time_s),
+    )
+    leftover = stage1.filter(F.col("_rn1") > b).drop("_salt", "_rn1").unionByName(
+        stage2.filter(F.col("seq_in_host") > b).drop("seq_in_host")
+    )
+    if cap_leftover is not None:
+        leftover = leftover.unionByName(cap_leftover)
+    return scheduled, leftover, persisted
+
+
+def schedule_round(
+    due: DataFrame, config: CrawlConfig, round_ts: int, salt_factor: int = 8
+) -> DataFrame:
+    """Scheduled rows only (compat wrapper; no persists kept)."""
+    scheduled, _, persisted = schedule_round_split(
+        due, config, round_ts, salt_factor
+    )
+    for df in persisted:
+        df.unpersist()
+    return scheduled

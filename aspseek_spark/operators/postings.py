@@ -158,6 +158,70 @@ def docs_with_any_form(
     return docs_with_any(postings, expand_terms(terms, form_map))
 
 
+def build_zone_postings(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    title_col: str | None = None,
+    title_tokens: int = 4,
+) -> DataFrame:
+    """Zone-aware postings (W4 depth, reference zone bits in word postings
+    [R:src/parser.cpp] — title/meta/body weighting): (doc, word, tf_title,
+    tf_body, zone_mask) where zone_mask bit 1 = title, bit 2 = body.
+
+    When ``title_col`` is None the title zone is the first ``title_tokens``
+    tokens of the text (the synthetic corpus has no separate title column);
+    the crawl's fetched table passes title_col from the parser's
+    extract_title output. One shuffle (the groupBy); all tokenizing codegen.
+    """
+    toks = tokens_col(text_col)
+    title_toks = (
+        tokens_col(title_col) if title_col is not None
+        else F.slice(toks, 1, title_tokens)
+    )
+    body = docs.select(
+        F.col(doc_col).alias("doc"),
+        F.explode(toks).alias("word"),
+        F.lit(2).alias("zone"),
+    )
+    title = docs.select(
+        F.col(doc_col).alias("doc"),
+        F.explode(title_toks).alias("word"),
+        F.lit(1).alias("zone"),
+    )
+    merged = body.unionByName(title).withColumn("word", F.lower("word"))
+    agg = merged.groupBy("doc", "word").agg(
+        F.sum(F.when(F.col("zone") == 1, 1).otherwise(0)).alias("tf_title"),
+        F.sum(F.when(F.col("zone") == 2, 1).otherwise(0)).alias("tf_body"),
+    )
+    return agg.withColumn(
+        "zone_mask",
+        F.when(F.col("tf_title") > 0, 1).otherwise(0)
+        + F.when(F.col("tf_body") > 0, 2).otherwise(0),
+    )
+
+
+def rank_zone_weighted(
+    zone_postings: DataFrame,
+    terms: list[str],
+    title_weight: int = 8,
+    k: int = 10,
+) -> DataFrame:
+    """Zone-weighted OR ranking: score = Σ_terms (title_weight·tf_title +
+    tf_body); deterministic top-k (score desc, doc asc). The reference
+    weights title/meta hits above body hits when scoring ([R:src/ranks.cpp]
+    semantics)."""
+    hits = zone_postings.filter(
+        F.col("word").isin([t.lower() for t in terms])
+    )
+    scored = hits.groupBy("doc").agg(
+        F.sum(
+            F.lit(title_weight) * F.col("tf_title") + F.col("tf_body")
+        ).alias("score")
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc")).limit(k)
+
+
 def write_postings_bucketed(
     postings: DataFrame, path: str, n_buckets: int = 64
 ) -> None:

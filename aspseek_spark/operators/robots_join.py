@@ -53,17 +53,19 @@ def fetch_missing_robots(
     robots_src: DataFrame,
     user_agent: str,
     round_ts: int,
+    hosts_deduped: bool = False,
 ) -> DataFrame:
     """Hosts not yet cached → fetch+parse → rows to append to the cache.
 
-    ``hosts``: one column ``host`` (pre-deduplicated). Missing from
-    robots_src = unfetchable robots (status 404 → allow-all empty rules).
+    ``hosts``: one column ``host``. Missing from robots_src = unfetchable
+    robots (status 404 → allow-all empty rules). Pass hosts_deduped=True
+    when the caller already distinct'ed (skips a redundant shuffle).
     """
     # the due-host set is bounded per round; the robots cache is the big
     # side at 10^10 scale. Probe the small set INTO the cache (broadcast
     # semi — cache only scanned, never shuffled), then broadcast-anti the
     # confirmed hits out: no sort-merge exchange anywhere.
-    due_hosts = hosts.select("host").distinct()
+    due_hosts = hosts if hosts_deduped else hosts.select("host").distinct()
     cached = robots.select("host").join(
         F.broadcast(due_hosts), on="host", how="left_semi"
     )
@@ -92,10 +94,24 @@ def fetch_missing_robots(
 
 
 def robots_allow_filter(
-    candidates: DataFrame, robots: DataFrame, broadcast_cache: bool = True
+    candidates: DataFrame,
+    robots: DataFrame,
+    broadcast_cache: bool = True,
+    due_hosts: DataFrame | None = None,
 ) -> DataFrame:
-    """candidates(+url_canon, host) → + robots_ok boolean."""
+    """candidates(+url_canon, host) → + robots_ok boolean.
+
+    When ``due_hosts`` is given, the cache is first semi-joined down to
+    this round's hosts BEFORE any broadcast: the full cache grows with
+    every host ever crawled (~10^7-10^8 at the 10^10-URL design point,
+    ≫ broadcastable), but the due-host slice is bounded by the round —
+    the cache is only ever SCANNED, never shuffled and never broadcast
+    whole (round-1 verdict fix #3). broadcast_cache=False falls back to a
+    plain shuffle join (AQE skew handling covers hot hosts).
+    """
     cache = robots.select("host", "rules")
+    if due_hosts is not None:
+        cache = cache.join(F.broadcast(due_hosts), on="host", how="left_semi")
     if broadcast_cache:
         cache = F.broadcast(cache)
     joined = candidates.join(cache, on="host", how="left")

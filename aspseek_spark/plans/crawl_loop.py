@@ -79,20 +79,24 @@ class CrawlJob:
             if timing:
                 marks.append((label, time.time() - t0))
 
-        # Materialize the persisted intermediates in DEPENDENCY ORDER as
-        # normal parallel jobs BEFORE anything broadcasts them: a broadcast
-        # exchange whose child is not yet cached executes the child inside
-        # the broadcast-build job, where AQE may have coalesced it to one
-        # partition — serializing the round's heaviest work on one core
-        # (observed: 20s single-task broadcast builds). With the cache
-        # populated, broadcast builds are just collects of cached blocks.
-        n_sched = res.scheduled.count()
+        # Round-2 job structure (cuts the serial barrier floor ~2×):
+        #   job A (inside run_round): scheduled.count — materializes the
+        #     frontier-scan → robots → politeness-window chain and picks the
+        #     fetch-join strategy from the measured batch size.
+        #   job B: new_urls.count — materializes fetch join, parse, bloom
+        #     probe and the seen backstop in one pass (their persists fill
+        #     during this single action, so later broadcast builds collect
+        #     cached blocks instead of re-running heavy work inside a
+        #     broadcast-build job, where AQE may coalesce to one partition —
+        #     observed 20s single-task builds in round 1).
+        #   then ALL table writes run as concurrent jobs over cached data
+        #     (the frontier write doubles as its materialization), and the
+        #     remaining metrics counts are cheap cached-scan jobs.
+        n_sched = res.n_sched  # materialized by run_round (job A)
         mark("scheduled.materialize")
         n_new = res.new_urls.count()
         mark("new_urls.materialize")
         res.frontier.persist()
-        frontier_size = res.frontier.count()
-        mark("frontier.materialize")
         self.store.write_round(
             round_id, self.config,
             frontier=res.frontier,
@@ -105,10 +109,14 @@ class CrawlJob:
             on_table_written=mark if timing else None,
         )
         # per-round lineage + metrics [B:14] — counts on persisted data
+        frontier_size = res.frontier.count()  # cached by its write job
+        mark("frontier.count")
         n_ok = res.fetched.filter(F.col("status") == 200).count()
         mark("n_ok.count")
         from ..operators.seen import bloom_metrics
 
+        # distributed: per-blob fill ratios were computed next to the blobs
+        # by bloom_add; this is a P-row scalar aggregate, no blob collect
         fill, bloom_keys = bloom_metrics(self.store.read_bloom(round_id))
         mark("bloom.metrics")
         if timing:

@@ -64,6 +64,9 @@ BLOOM_SCHEMA = T.StructType(
         T.StructField("pid", T.IntegerType()),
         T.StructField("bits", T.BinaryType()),
         T.StructField("n_keys", T.LongType()),
+        # per-blob fill ratio, computed where the blob lives (bloom_add) so
+        # metrics aggregate P scalars instead of collecting blobs
+        T.StructField("fill_ratio", T.DoubleType()),
     ]
 )
 

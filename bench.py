@@ -41,6 +41,8 @@ def sf_of(path: str) -> float:
 def build_spark(cpus: int):
     from pyspark.sql import SparkSession
 
+    os.makedirs(os.path.join(REPO, ".cache", "events"), exist_ok=True)
+
     # shuffle partitioning defaults to the core count but is overridable so
     # scaling comparisons hold the PLAN constant and vary only parallelism
     shuffle_p = os.environ.get("SPARK_GRAFT_SHUFFLE", str(cpus))
@@ -136,6 +138,28 @@ def bench_crawl(
     return t2 - t1, timed_urls, t2 - t0, total_urls
 
 
+def _eventlog_counts(spark, window_ms: tuple[float, float]):
+    """(n_stages, n_jobs) submitted inside the wall window, from the app's
+    own event log. Flush first so the tail is on disk."""
+    try:
+        app_id = spark.sparkContext.applicationId
+        path = os.path.join(REPO, ".cache", "events", app_id)
+        if not os.path.exists(path):
+            # .inprogress suffix while the app is live
+            path = path + ".inprogress"
+        n_stages = n_jobs = 0
+        with open(path) as f:
+            for line in f:
+                if '"Event":"SparkListenerJobStart"' in line.replace(" ", ""):
+                    ev = json.loads(line)
+                    if window_ms[0] <= ev.get("Submission Time", 0) <= window_ms[1]:
+                        n_jobs += 1
+                        n_stages += len(ev.get("Stage Infos", []))
+        return n_stages, n_jobs
+    except Exception:
+        return None
+
+
 def main():
     import __spark_entry__ as entrymod
 
@@ -147,24 +171,33 @@ def main():
         # scaling-bench mode (scripts/scaling_bench.py): crawl only, one
         # JSON line with steady-state throughput at this core count
         web_dir = ensure_bench_web(sf)
+        timed_rounds = int(os.environ.get("SPARK_GRAFT_TIMED_ROUNDS", "3"))
+        t_wall0 = time.time()
         t_timed, urls_timed, t_total, urls_total = bench_crawl(
-            spark, web_dir, warmup_rounds=2,
-            timed_rounds=int(os.environ.get("SPARK_GRAFT_TIMED_ROUNDS", "3")),
+            spark, web_dir, warmup_rounds=2, timed_rounds=timed_rounds,
         )
-        print(
-            json.dumps(
-                {
-                    "metric": "crawl_urls_per_sec",
-                    "value": round(urls_timed / t_timed, 1) if t_timed else 0,
-                    "unit": "urls/sec",
-                    "cpus": CPUS,
-                    "sf": sf,
-                    "timed_sec": round(t_timed, 3),
-                    "timed_urls": urls_timed,
-                    "total_sec_incl_warmup": round(t_total, 3),
-                }
+        out = {
+            "metric": "crawl_urls_per_sec",
+            "value": round(urls_timed / t_timed, 1) if t_timed else 0,
+            "unit": "urls/sec",
+            "cpus": CPUS,
+            "sf": sf,
+            "timed_sec": round(t_timed, 3),
+            "timed_urls": urls_timed,
+            "total_sec_incl_warmup": round(t_total, 3),
+        }
+        if os.environ.get("SPARK_GRAFT_EVENTLOG") == "1":
+            # serial-barrier evidence: stages/jobs per steady round, parsed
+            # from the event log over the timed-round wall window
+            window = (
+                (t_wall0 + (t_total - t_timed)) * 1000,
+                (t_wall0 + t_total) * 1000,
             )
-        )
+            counts = _eventlog_counts(spark, window)
+            if counts:
+                out["stages_per_round"] = round(counts[0] / timed_rounds, 1)
+                out["jobs_per_round"] = round(counts[1] / timed_rounds, 1)
+        print(json.dumps(out))
         return
 
     results: dict[str, float] = {}

@@ -71,7 +71,7 @@ def main():
 
     res = run_round(
         spark, 1, cfg, frontier, seen, bloom, empty_robots(spark),
-        pages, robots_src,
+        pages, robots_src, truncate_lineage=False,
     )
 
     all_ok = True
@@ -118,6 +118,72 @@ def main():
     all_ok &= check(
         "politeness window partitioned (no single-partition sort)", p,
         must=["Window"], must_not=["rangepartitioning(priority"],
+    )
+
+    # 6. leftover is rank-derived from the politeness windows — NOT an
+    # anti-join against a broadcast of the scheduled batch (round-1
+    # scale-killer #4)
+    from aspseek_spark.operators.politeness import schedule_round_split
+
+    _, leftover_df, lo_persisted = schedule_round_split(
+        frontier, cfg, cfg.round_ts_unix(1)
+    )
+    p = plan_of(leftover_df)
+    plans["leftover"] = p
+    all_ok &= check(
+        "leftover derived from window ranks (no anti-join, no broadcast)", p,
+        must=["Window"], must_not=["LeftAnti", "BroadcastExchange"],
+    )
+    for df in lo_persisted:
+        df.unpersist()
+
+    # 7. robots join: the cache is semi-joined down to due hosts BEFORE the
+    # broadcast — never an unconditional cache broadcast (scale-killer #3)
+    all_ok &= check(
+        "robots cache sliced to due hosts (semi-join present)",
+        plans["fetched"],
+        must=["LeftSemi"], must_not=[],
+    )
+
+    # 8. big-batch fetch path: above fetch_broadcast_limit the join must be
+    # shuffle-hash (never a sort of the pages side, never a broadcast of an
+    # over-limit batch). limit=-1 forces the big-batch path in inspection
+    # mode (where n_sched is pinned to 0).
+    big_cfg = CrawlConfig(
+        bloom_partitions=4, bloom_bits_per_partition=1 << 14,
+        fetch_broadcast_limit=-1,
+    )
+    res_big = run_round(
+        spark, 1, big_cfg, frontier, seen, bloom, empty_robots(spark),
+        pages, robots_src, truncate_lineage=False,
+    )
+    p = plan_of(res_big.fetched)
+    plans["fetched_big_batch"] = p
+    all_ok &= check(
+        "over-limit batch uses shuffle-hash join (no sort-merge)", p,
+        must=["ShuffledHashJoin"], must_not=["SortMergeJoin"],
+    )
+
+    # 9. bloom metrics are distributed: crawl_loop aggregates the committed
+    # bloom TABLE, and the parquet scan must prune the blob column out —
+    # only the (fill_ratio, n_keys) scalars ever leave the files
+    from aspseek_spark.sources.tables import BLOOM_SCHEMA
+
+    bdir = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(0, bytearray(b"\x00" * 8), 1, 0.125)], BLOOM_SCHEMA
+    ).write.parquet(f"{bdir}/bloom")
+    agg = (
+        spark.read.schema(BLOOM_SCHEMA)
+        .parquet(f"{bdir}/bloom")
+        .agg(F.avg("fill_ratio").alias("fill"), F.sum("n_keys").alias("keys"))
+    )
+    p = plan_of(agg)
+    plans["bloom_metrics"] = p
+    all_ok &= check(
+        "bloom metrics scan prunes blob bytes", p,
+        must=["ReadSchema: struct<n_keys:bigint,fill_ratio:double>"],
+        must_not=[],
     )
 
     with open("/root/repo/.cache/plans.txt", "w") as f:

@@ -46,6 +46,7 @@ def run_at(cpus: int) -> dict:
         SPARK_GRAFT_SF_DIR=SF_DIR,
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_CRAWL_ONLY="1",
+        SPARK_GRAFT_EVENTLOG="1",  # stages/jobs-per-round evidence
         # larger web than the per-round bench: the scaling criterion is
         # about steady-state parallel work, so give each round enough of it
         # (~150k pages → ~30k URLs/round) to expose the core count
@@ -82,6 +83,8 @@ def main():
         for c in (N_LOW, N_HIGH)
     }
     eff = (best[N_HIGH] / best[N_LOW]) / (N_HIGH / N_LOW)
+    stage_counts = [r.get("stages_per_round") for r in runs if r.get("stages_per_round")]
+    job_counts = [r.get("jobs_per_round") for r in runs if r.get("jobs_per_round")]
     summary = {
         "metric": f"scaling_efficiency_{N_LOW}_to_{N_HIGH}",
         "value": round(eff, 3),
@@ -92,6 +95,10 @@ def main():
         "repeats": REPEATS,
         "sf": runs[0]["sf"],
         "pass_0_8": eff >= 0.8,
+        # serial-barrier evidence (round-2 deliverable): stages and jobs per
+        # steady-state round, from the Spark event log
+        "stages_per_round": min(stage_counts) if stage_counts else None,
+        "jobs_per_round": min(job_counts) if job_counts else None,
     }
     print(json.dumps(summary), flush=True)
     with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:

@@ -12,26 +12,48 @@ from aspseek_spark.functions.hashing import (
     bloom_set,
     bloom_test,
     empty_bloom,
+    hash_bases,
 )
 
 M, K = 1 << 16, 5
+
+
+def _set(bits, keys):
+    h1, h2 = hash_bases(keys)
+    return bloom_set(bits, h1, h2, M, K)
+
+
+def _probe(bits, keys):
+    h1, h2 = hash_bases(keys)
+    return bloom_test(bits, h1, h2, M, K)
 
 
 @settings(max_examples=50, deadline=None)
 @given(st.lists(st.text(min_size=1, max_size=50), max_size=200))
 def test_bloom_no_false_negatives(keys):
     bits = empty_bloom(M)
-    bloom_set(bits, keys, M, K)
+    _set(bits, keys)
     if keys:
-        assert bloom_test(bits, keys, M, K).all()
+        assert _probe(bits, keys).all()
+
+
+def test_bloom_no_false_negatives_int64_bases():
+    """The engine feeds JVM xxhash64 bases (signed int64, often negative);
+    the uint64 reinterpret + odd-step must preserve no-false-negatives."""
+    rng = np.random.default_rng(7)
+    h1 = rng.integers(-(2**63), 2**63 - 1, size=5000, dtype=np.int64)
+    h2 = rng.integers(-(2**63), 2**63 - 1, size=5000, dtype=np.int64)
+    bits = empty_bloom(M)
+    bloom_set(bits, h1, h2, M, K)
+    assert bloom_test(bits, h1, h2, M, K).all()
 
 
 def test_bloom_fpp_within_budget():
     bits = empty_bloom(M)
     ins = [f"http://h{i}.test/p{i}" for i in range(1000)]
-    bloom_set(bits, ins, M, K)
+    _set(bits, ins)
     probe = [f"http://x{i}.test/q{i}" for i in range(20000)]
-    fpp = bloom_test(bits, probe, M, K).mean()
+    fpp = _probe(bits, probe).mean()
     # m/n=65.5 bits/key, k=5 → theoretical fpp ≈ 3e-5; allow slack
     assert fpp < 0.005, fpp
     assert 0.0 < bloom_fill_ratio(bits) < 0.2
@@ -41,11 +63,11 @@ def test_bloom_or_merge_equals_joint_build():
     a, b = empty_bloom(M), empty_bloom(M)
     k1 = [f"u{i}" for i in range(100)]
     k2 = [f"v{i}" for i in range(100)]
-    bloom_set(a, k1, M, K)
-    bloom_set(b, k2, M, K)
+    _set(a, k1)
+    _set(b, k2)
     merged = a | b
     joint = empty_bloom(M)
-    bloom_set(joint, k1 + k2, M, K)
+    _set(joint, k1 + k2)
     assert np.array_equal(merged, joint)
 
 
