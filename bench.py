@@ -66,9 +66,13 @@ def build_spark(cpus: int):
         .config("spark.ui.enabled", "false")
         .config(
             "spark.eventLog.enabled",
-            os.environ.get("SPARK_GRAFT_EVENTLOG", "false"),
+            "true"
+            if os.environ.get("SPARK_GRAFT_EVENTLOG", "") in ("1", "true")
+            else "false",
         )
         .config("spark.eventLog.dir", os.path.join(REPO, ".cache", "events"))
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
         .getOrCreate()
     )
 
@@ -143,10 +147,13 @@ def _eventlog_counts(spark, window_ms: tuple[float, float]):
     own event log. Flush first so the tail is on disk."""
     try:
         app_id = spark.sparkContext.applicationId
-        path = os.path.join(REPO, ".cache", "events", app_id)
-        if not os.path.exists(path):
-            # .inprogress suffix while the app is live
-            path = path + ".inprogress"
+        base = os.path.join(REPO, ".cache", "events", app_id)
+        path = next(
+            (p for p in (base, base + ".inprogress") if os.path.exists(p)),
+            None,
+        )
+        if path is None:
+            return None
         n_stages = n_jobs = 0
         with open(path) as f:
             for line in f:

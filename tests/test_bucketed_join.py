@@ -73,9 +73,15 @@ def test_bucketed_fetch_join_does_not_shuffle_pages(spark, bucketed_pages, tiny_
 
 
 def test_bucketed_scan_reports_bucket_pruning(spark, bucketed_pages):
-    # probing a single url prunes to one bucket (SelectedBucketsCount)
-    one = bucketed_pages.filter(
-        F.col("url_canon") == "http://h0000.test/"
-    )
-    plan = _plan_of(one)
-    assert "SelectedBucketsCount: 1 out of" in plan, plan
+    # probing a single url prunes to one bucket (SelectedBucketsCount).
+    # autoBucketedScan skips the bucketed layout when it sees no join/agg
+    # benefit — disable it so the point-probe pruning path is exercised.
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        one = bucketed_pages.filter(
+            F.col("url_canon") == "http://h0000.test/"
+        )
+        plan = _plan_of(one)
+        assert "SelectedBucketsCount: 1 out of" in plan, plan
+    finally:
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
