@@ -642,6 +642,45 @@ def _q45_lsh_ann(spark, sf_dir):
     )
 
 
+def _q47_zone_rank(spark, sf_dir):
+    # W4 zone-weighted ranking: title zone (first 4 tokens — the synthetic
+    # corpus has no title column) weighted 8× over body, deterministic top-10
+    from aspseek_spark.operators.postings import (
+        build_zone_postings,
+        rank_zone_weighted,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    zp = build_zone_postings(d, title_tokens=4)
+    out = rank_zone_weighted(zp, ["table", "merge"], title_weight=8, k=10)
+    return out.select(
+        F.col("doc").alias("doc_id"), F.col("score").cast("long").alias("score")
+    )
+
+
+def _q48_revisit_due(spark, sf_dir):
+    # S7 revisit-due computation shape (Period + next_fetch vs cutoff) over
+    # the events table as the fetch log: per user, last activity + 7 days,
+    # due flag vs a fixed cutoff
+    e = _t(spark, sf_dir, "events")
+    cutoff = "2026-01-08 00:00:00"
+    return (
+        e.groupBy("user_id")
+        .agg(F.max("ts").alias("last_ts"))
+        .select(
+            "user_id",
+            F.date_format(
+                F.col("last_ts") + F.expr("INTERVAL 7 DAYS"),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("next_fetch"),
+            (
+                (F.col("last_ts") + F.expr("INTERVAL 7 DAYS"))
+                <= F.lit(cutoff).cast("timestamp_ntz")
+            ).cast("int").alias("due"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -690,6 +729,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_ivf_ann": _q44_ivf_ann,
         "q45_lsh_ann": _q45_lsh_ann,
         "q46_simhash_near_pairs": _q46_simhash_near_pairs,
+        "q47_zone_rank": _q47_zone_rank,
+        "q48_revisit_due": _q48_revisit_due,
     }
 
 
@@ -1358,6 +1399,46 @@ def oracle_sql() -> dict[str, str]:
                         6) >= 0.35
         """,
         "q37_media_features": _media_oracle(),
+        "q47_zone_rank": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS t
+                FROM documents
+            ),
+            body AS (
+                SELECT doc_id, lower(unnest(t)) AS w FROM toks
+            ),
+            title AS (
+                SELECT doc_id, lower(unnest(t[1:4])) AS w FROM toks
+            ),
+            tp AS (
+                SELECT doc_id, w, count(*) AS tf_t FROM title
+                WHERE w IN ('table', 'merge') GROUP BY doc_id, w
+            ),
+            bp AS (
+                SELECT doc_id, w, count(*) AS tf_b FROM body
+                WHERE w IN ('table', 'merge') GROUP BY doc_id, w
+            ),
+            z AS (
+                SELECT coalesce(tp.doc_id, bp.doc_id) AS doc_id,
+                       coalesce(tp.tf_t, 0) AS tf_t,
+                       coalesce(bp.tf_b, 0) AS tf_b
+                FROM tp FULL OUTER JOIN bp
+                  ON tp.doc_id = bp.doc_id AND tp.w = bp.w
+            )
+            SELECT doc_id, (sum(8 * tf_t + tf_b))::BIGINT AS score
+            FROM z GROUP BY doc_id
+            ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        "q48_revisit_due": """
+            SELECT user_id,
+                   strftime(max(ts) + INTERVAL 7 DAY,
+                            '%Y-%m-%d %H:%M:%S') AS next_fetch,
+                   CASE WHEN max(ts) + INTERVAL 7 DAY
+                             <= TIMESTAMP '2026-01-08 00:00:00'
+                        THEN 1 ELSE 0 END AS due
+            FROM events GROUP BY user_id
+        """,
         "q44_ivf_ann": _ivf_oracle(),
         "q45_lsh_ann": _lsh_ann_oracle(),
         "q46_simhash_near_pairs": _simhash_near_oracle(),

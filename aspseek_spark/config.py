@@ -51,6 +51,10 @@ class CrawlConfig:
     # first-match-wins allow/deny chain (F1/F2); empty chain = allow all
     filters: tuple[FilterRule, ...] = ()
     default_allow: bool = True
+    # F5 MIME filter (ASPseek checks Content-Type before indexing): pages
+    # outside this set are still fetched/recorded but contribute no text
+    # and no outlinks. None in the corpus column ⇒ treated as text/html.
+    allowed_content_types: tuple[str, ...] = ("text/html",)
     # --- engine-layout knobs (no reference analog) ---
     bloom_partitions: int = 32  # P: bloom blob partitions (≈1024 at 1e10 keys)
     bloom_bits_per_partition: int = 1 << 20  # m per partition
@@ -86,6 +90,8 @@ class CrawlConfig:
     def from_json(s: str) -> "CrawlConfig":
         d = json.loads(s)
         d["filters"] = tuple(FilterRule(**r) for r in d.get("filters", ()))
+        if "allowed_content_types" in d:
+            d["allowed_content_types"] = tuple(d["allowed_content_types"])
         return CrawlConfig(**d)
 
 

@@ -48,8 +48,39 @@ _REFRESH_RE = re.compile(
     rb"""content\s*=\s*["']\s*\d+\s*;\s*url\s*=\s*([^"'>]+)["']""",
     re.I,
 )
-_KNOWN_CHARSETS = {"utf-8", "utf8", "iso-8859-1", "latin-1", "latin1",
-                   "windows-1252", "us-ascii", "ascii"}
+# charset label → python codec (reference [R:src/charsets.cpp] converts many
+# charsets → Unicode; this covers the labels the synthetic + Common-Crawl-ish
+# corpora actually use: western, cyrillic ×2, shift-jis)
+_CHARSET_ALIASES = {
+    "utf-8": "utf-8", "utf8": "utf-8",
+    "iso-8859-1": "latin-1", "latin-1": "latin-1", "latin1": "latin-1",
+    "windows-1252": "latin-1", "cp1252": "latin-1",
+    "us-ascii": "ascii", "ascii": "ascii",
+    "windows-1251": "windows-1251", "cp1251": "windows-1251",
+    "koi8-r": "koi8-r", "koi8_r": "koi8-r", "koi8r": "koi8-r",
+    "shift-jis": "shift_jis", "shift_jis": "shift_jis", "sjis": "shift_jis",
+    "x-sjis": "shift_jis",
+}
+_CT_CHARSET_RE = re.compile(r"charset\s*=\s*\"?\s*([A-Za-z0-9_\-]+)", re.I)
+
+
+def charset_from_content_type(content_type: str | None) -> str | None:
+    """Charset from an HTTP Content-Type header value (None if absent or
+    unknown). Header charset takes PRECEDENCE over the page's meta tag
+    (RFC 9110 §8.3 — shared by engine parse and oracle)."""
+    if not content_type:
+        return None
+    m = _CT_CHARSET_RE.search(content_type)
+    if not m:
+        return None
+    return _CHARSET_ALIASES.get(m.group(1).lower())
+
+
+def media_type_of(content_type: str | None) -> str | None:
+    """Media type (before any ';param') lowercased — the F5 MIME key."""
+    if content_type is None:
+        return None
+    return content_type.split(";", 1)[0].strip().lower()
 
 
 def _decode_entity(m: re.Match) -> str:
@@ -67,17 +98,19 @@ def _decode_entity(m: re.Match) -> str:
     return _NAMED_ENTITIES.get(body, m.group(0))
 
 
-def sniff_charset(html: bytes) -> str:
-    """Charset from the first 1024 bytes' meta tags (reference S6 analog:
-    [R:src/charsets.cpp] converts per-page charset → Unicode). Unknown or
-    absent → utf-8."""
+def sniff_charset(html: bytes, header_charset: str | None = None) -> str:
+    """Decode charset: HTTP-header charset (already codec-normalized, from
+    charset_from_content_type) takes precedence; else the first 1024 bytes'
+    meta tag; unknown or absent → utf-8. (Reference S6 analog:
+    [R:src/charsets.cpp] converts per-page charset → Unicode.)"""
+    if header_charset:
+        return header_charset
     m = _CHARSET_RE.search(html[:1024])
     if m:
         cs = m.group(1).decode("ascii", "replace").lower()
-        if cs in _KNOWN_CHARSETS:
-            return "latin-1" if cs in ("iso-8859-1", "latin1", "windows-1252") else (
-                "ascii" if cs in ("us-ascii", "ascii") else "utf-8"
-            )
+        codec = _CHARSET_ALIASES.get(cs)
+        if codec:
+            return codec
     return "utf-8"
 
 
@@ -88,24 +121,28 @@ def _strip_noise(html: bytes) -> bytes:
     return _STYLE_RE.sub(b" ", raw)
 
 
-def extract1(html: bytes) -> str:
+def extract1(html: bytes, header_charset: str | None = None) -> str:
     """Extract visible text from HTML bytes — the golden-pinned function."""
     if html is None:
         return ""
-    s = _strip_noise(html).decode(sniff_charset(html), errors="replace")
+    s = _strip_noise(html).decode(
+        sniff_charset(html, header_charset), errors="replace"
+    )
     s = _TAG_RE.sub(" ", s)
     s = _ENTITY_RE.sub(_decode_entity, s)
     return _WS_RE.sub(" ", s).strip()
 
 
-def extract_text_and_hrefs(html: bytes) -> tuple[str, list[str]]:
+def extract_text_and_hrefs(
+    html: bytes, header_charset: str | None = None
+) -> tuple[str, list[str]]:
     """One-pass variant for the crawl hot path: identical output to
     (extract1(html), extract_hrefs(html)) but strips comments/script/style
     once instead of twice — the strip is the dominant regex cost."""
     if html is None:
         return "", []
     raw = _strip_noise(html)
-    s = raw.decode(sniff_charset(html), errors="replace")
+    s = raw.decode(sniff_charset(html, header_charset), errors="replace")
     s = _TAG_RE.sub(" ", s)
     s = _ENTITY_RE.sub(_decode_entity, s)
     text = _WS_RE.sub(" ", s).strip()

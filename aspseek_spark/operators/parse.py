@@ -26,7 +26,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import CrawlConfig
-from ..functions.textextract import extract_redirect, extract_text_and_hrefs
+from ..functions.textextract import (
+    charset_from_content_type,
+    extract_redirect,
+    extract_text_and_hrefs,
+)
 from ..functions.urlnorm import resolve_href
 
 _PARSE_EXTRA = (
@@ -55,10 +59,26 @@ def parse_fetched(df: DataFrame, config: CrawlConfig) -> DataFrame:
             links: list[list[str]] = []
             redirects: list[str | None] = []
             is_redir: list[bool] = []
-            for url, html, depth in zip(
-                pdf["url_canon"], pdf["html"], pdf["depth"]
+            # S7/F5 flags are precomputed JVM-side (crawl_round); absent
+            # columns (operator used standalone) mean "parse everything"
+            not_mod = (
+                pdf["not_modified"] if "not_modified" in pdf
+                else [False] * len(pdf)
+            )
+            mime_ok = (
+                pdf["mime_ok"] if "mime_ok" in pdf else [True] * len(pdf)
+            )
+            ctypes = (
+                pdf["content_type"] if "content_type" in pdf
+                else [None] * len(pdf)
+            )
+            for url, html, depth, nm, mo, ct in zip(
+                pdf["url_canon"], pdf["html"], pdf["depth"], not_mod,
+                mime_ok, ctypes,
             ):
-                if html is None:
+                if html is None or nm or not mo:
+                    # miss (404) / not modified (304) / non-indexable MIME:
+                    # nothing indexed, nothing discovered
                     texts.append(None)
                     links.append([])
                     redirects.append(None)
@@ -79,7 +99,11 @@ def parse_fetched(df: DataFrame, config: CrawlConfig) -> DataFrame:
                     redirects.append(cu)
                     is_redir.append(True)
                     continue
-                text, hrefs = extract_text_and_hrefs(body)
+                # S6: HTTP-header charset (from Content-Type) takes
+                # precedence over the page's meta tag
+                text, hrefs = extract_text_and_hrefs(
+                    body, charset_from_content_type(ct)
+                )
                 texts.append(text)
                 redirects.append(None)
                 is_redir.append(False)

@@ -177,6 +177,49 @@ def bloom_add(
     )
 
 
+def seen_delete(
+    surviving_seen: DataFrame, bloom_state: DataFrame, deletes: DataFrame,
+    config: CrawlConfig,
+) -> DataFrame:
+    """Bloom-side deletion support: blooms can't clear bits, so the blobs of
+    the pids TOUCHED by ``deletes`` are rebuilt from the surviving exact
+    seen rows of those pids; untouched blobs pass through unchanged. Work
+    is bounded by the touched partitions' seen rows — fine for occasional
+    expiry; deletion-heavy crawl spaces use operators/cuckoo_seen instead
+    (true deletes, no rebuild)."""
+    m, k = config.bloom_bits_per_partition, config.bloom_num_hashes
+    touched = (
+        _with_pid(deletes.select("url_canon"), config.bloom_partitions)
+        .select("pid")
+        .distinct()
+    )
+    untouched = bloom_state.join(F.broadcast(touched), "pid", "left_anti")
+    rebuild_keys = _with_pid(
+        surviving_seen.select("url_canon"), config.bloom_partitions
+    ).join(F.broadcast(touched), "pid", "left_semi")
+
+    def _rebuild(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np  # noqa: F401
+
+        pid = int(pdf["pid"].iloc[0])
+        bits = empty_bloom(m)
+        h1, h2 = _bases(pdf)
+        bloom_set(bits, h1, h2, m, k)
+        return pd.DataFrame(
+            {
+                "pid": [pid],
+                "bits": [bits.tobytes()],
+                "n_keys": [len(pdf)],
+                "fill_ratio": [bloom_fill_ratio(bits)],
+            }
+        )
+
+    rebuilt = rebuild_keys.groupby("pid").applyInPandas(
+        _rebuild, schema=BLOOM_STATE_SCHEMA
+    )
+    return untouched.unionByName(rebuilt)
+
+
 def bloom_metrics(bloom_state: DataFrame) -> tuple[float, int]:
     """(mean fill ratio, total keys) for the metrics table.
 

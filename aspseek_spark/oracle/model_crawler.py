@@ -20,7 +20,13 @@ from dataclasses import dataclass, field
 
 from ..config import CrawlConfig
 from ..functions.robots import parse_robots, path_of, robots_allowed
-from ..functions.textextract import extract1, extract_hrefs, extract_redirect
+from ..functions.textextract import (
+    charset_from_content_type,
+    extract1,
+    extract_hrefs,
+    extract_redirect,
+    media_type_of,
+)
 from ..functions.urlnorm import host_of, resolve_href
 
 
@@ -41,6 +47,8 @@ class FrontierRow:
     host: str
     depth: int
     next_fetch_unix: int
+    # S7: time of last non-304 fetch (None = never fetched)
+    last_fetch_unix: int | None = None
 
 
 @dataclass
@@ -50,14 +58,26 @@ class OracleResult:
     frontier: dict[str, FrontierRow] = field(default_factory=dict)
 
 
+def _page_meta(v) -> tuple[bytes, str | None, int | None]:
+    """pages values are bytes (legacy fixtures) or
+    (html, content_type, last_modified)."""
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v), None, None
+    body, ctype, lastmod = v
+    return bytes(body), ctype, lastmod
+
+
 def crawl(
-    pages: dict[str, bytes],
+    pages: dict,
     robots_src: dict[str, bytes],
     seeds: list[str],
     config: CrawlConfig,
     n_rounds: int,
+    deletions: dict[int, set[str]] | None = None,
 ) -> OracleResult:
-    """Run rounds 1..n_rounds; round 0 is seed insertion (engine parity)."""
+    """Run rounds 1..n_rounds; round 0 is seed insertion (engine parity).
+    ``deletions``: round_id → urls expired at the END of that round (URL
+    expiry / tag deletion — mirrors StateStore.delete_urls)."""
     from ..functions.urlnorm import canon1
 
     frontier: dict[str, FrontierRow] = {}
@@ -111,54 +131,67 @@ def crawl(
             if rank <= config.host_budget:
                 scheduled.append((r, rank))
 
-        # fetch + parse + discover
+        # fetch + parse + discover. Status precedence (engine parity,
+        # plans/crawl_round status_col): 404 → 304 → MIME-filtered 200 →
+        # 302 → 200-parse.
         candidates: dict[str, int] = {}  # url_canon -> min depth
         for r, rank in scheduled:
             sched_unix = round_ts + (rank - 1) * config.delta_time_s
-            html = pages.get(r.url_canon)
-            status = 200 if html is not None else 404
+            page = pages.get(r.url_canon)
             text = None
-            if html is not None:
-                body = html[: config.max_doc_size]
-                target = extract_redirect(body)
-                if target is not None:
-                    # J4: redirect — no text indexed; target re-enters at
-                    # the parent's depth (no hop cost)
-                    status = 302
-                    cu = resolve_href(r.url_canon, target)
-                    if cu is not None and config.url_allowed(cu):
-                        d = r.depth
-                        if cu not in candidates or d < candidates[cu]:
-                            candidates[cu] = d
-                    fetches.append(
-                        OracleFetch(
-                            round_id, rank, sched_unix, r.host,
-                            r.url_canon, status, None,
-                        )
-                    )
-                    frontier[r.url_canon] = FrontierRow(
-                        r.url_canon, r.host, r.depth,
-                        sched_unix + config.period_s,
-                    )
-                    continue
-                text = extract1(body)
-                if r.depth + 1 <= config.max_hops:
-                    for href in extract_hrefs(body):
-                        cu = resolve_href(r.url_canon, href)
-                        if cu is None or not config.url_allowed(cu):
-                            continue
-                        d = r.depth + 1
-                        if cu not in candidates or d < candidates[cu]:
-                            candidates[cu] = d
+            status = 404
+            new_last_fetch: int | None = sched_unix
+            if page is not None:
+                html, ctype, lastmod = _page_meta(page)
+                if (
+                    r.last_fetch_unix is not None
+                    and lastmod is not None
+                    and lastmod <= r.last_fetch_unix
+                ):
+                    # S7: If-Modified-Since → 304; nothing re-indexed or
+                    # re-discovered; keep the previous fetch timestamp
+                    status = 304
+                    new_last_fetch = r.last_fetch_unix
+                elif (
+                    ctype is not None
+                    and media_type_of(ctype) not in config.allowed_content_types
+                ):
+                    # F5: fetched but not indexable — no text, no outlinks
+                    status = 200
+                else:
+                    status = 200
+                    body = html[: config.max_doc_size]
+                    target = extract_redirect(body)
+                    if target is not None:
+                        # J4: redirect — no text indexed; target re-enters
+                        # at the parent's depth (no hop cost)
+                        status = 302
+                        cu = resolve_href(r.url_canon, target)
+                        if cu is not None and config.url_allowed(cu):
+                            d = r.depth
+                            if cu not in candidates or d < candidates[cu]:
+                                candidates[cu] = d
+                    else:
+                        # S6: header charset precedence, same as engine
+                        text = extract1(body, charset_from_content_type(ctype))
+                        if r.depth + 1 <= config.max_hops:
+                            for href in extract_hrefs(body):
+                                cu = resolve_href(r.url_canon, href)
+                                if cu is None or not config.url_allowed(cu):
+                                    continue
+                                d = r.depth + 1
+                                if cu not in candidates or d < candidates[cu]:
+                                    candidates[cu] = d
             fetches.append(
                 OracleFetch(
                     round_id, rank, sched_unix, r.host, r.url_canon, status,
                     text,
                 )
             )
-            # revisit scheduling (Period)
+            # revisit scheduling (Period) + S7 last-fetch bookkeeping
             frontier[r.url_canon] = FrontierRow(
-                r.url_canon, r.host, r.depth, sched_unix + config.period_s
+                r.url_canon, r.host, r.depth, sched_unix + config.period_s,
+                new_last_fetch,
             )
 
         # URL-seen test (J1) + frontier insertion
@@ -167,6 +200,12 @@ def crawl(
                 continue
             seen.add(cu)
             frontier[cu] = FrontierRow(cu, host_of(cu), d, round_ts)
+
+        # URL expiry / tag deletion at end-of-round (StateStore.delete_urls)
+        if deletions and round_id in deletions:
+            for cu in deletions[round_id]:
+                seen.discard(cu)
+                frontier.pop(cu, None)
 
     return OracleResult(fetches=fetches, seen=seen, frontier=frontier)
 
@@ -177,13 +216,26 @@ def fetch_order_key(f: OracleFetch) -> tuple:
 
 
 def load_fixture_dicts(web_dir: str):
-    """Read the webgen parquet fixtures into plain dicts (no Spark)."""
+    """Read the webgen parquet fixtures into plain dicts (no Spark).
+    pages values carry (html, content_type, last_modified) when the fixture
+    has the S7/F5 columns, else raw html bytes."""
     import pyarrow.parquet as pq
 
-    pages_t = pq.read_table(f"{web_dir}/pages.parquet", columns=["url", "html"])
-    pages = dict(
-        zip(pages_t["url"].to_pylist(), pages_t["html"].to_pylist())
-    )
+    pages_t = pq.read_table(f"{web_dir}/pages.parquet")
+    names = pages_t.schema.names
+    urls = pages_t["url"].to_pylist()
+    htmls = pages_t["html"].to_pylist()
+    if "content_type" in names and "last_modified" in names:
+        pages = {
+            u: (h, c, lm)
+            for u, h, c, lm in zip(
+                urls, htmls,
+                pages_t["content_type"].to_pylist(),
+                pages_t["last_modified"].to_pylist(),
+            )
+        }
+    else:
+        pages = dict(zip(urls, htmls))
     robots_t = pq.read_table(f"{web_dir}/robots_src.parquet")
     robots = dict(
         zip(robots_t["host"].to_pylist(), robots_t["body"].to_pylist())

@@ -34,12 +34,14 @@ class CrawlJob:
         config: CrawlConfig,
         pages: DataFrame,
         robots_src: DataFrame,
+        fetcher=None,
     ):
         self.spark = spark
         self.store = store
         self.config = config
         self.pages = pages
         self.robots_src = robots_src
+        self.fetcher = fetcher  # SRC2 seam: live connector or None=simulated
 
     def ensure_init(self, seeds: DataFrame) -> None:
         """Commit round-0 state (seed insertion) if nothing is committed."""
@@ -68,6 +70,7 @@ class CrawlJob:
         res = run_round(
             self.spark, round_id, self.config,
             frontier, seen, bloom, robots, self.pages, self.robots_src,
+            fetcher=self.fetcher,
         )
 
         import os

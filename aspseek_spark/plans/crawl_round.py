@@ -77,9 +77,11 @@ def init_state(
         .withColumn("round_added", F.lit(0))
         .withColumn("origin_hash64", F.lit(None).cast("long"))
         .withColumn("tag", F.lit(config.tag))
+        .withColumn("last_fetch_unix", F.lit(None).cast("long"))
         .select(
             "url_canon", "url_hash64", "hash32", "host", "depth",
             "next_fetch_unix", "round_added", "origin_hash64", "tag",
+            "last_fetch_unix",
         )
     )
     empty_bloom_state = spark.createDataFrame([], BLOOM_SCHEMA)
@@ -108,10 +110,27 @@ def run_round(
     pages: DataFrame,
     robots_src: DataFrame,
     truncate_lineage: bool = True,
+    fetcher=None,
 ) -> RoundResult:
     """truncate_lineage=False keeps the full declarative plan on every
     output (no eager jobs, no checkpoints) — used by scripts/explain_plans.py
-    to audit the physical plan; production rounds always truncate."""
+    to audit the physical plan; production rounds always truncate.
+
+    ``fetcher`` (SRC2 seam): optional callable(scheduled DataFrame) →
+    scheduled rows + html/content_type/last_modified columns — a live
+    mapInPandas HTTP connector (sources/connector.py). None = simulated
+    fetch join against the ``pages`` corpus."""
+    import os
+    import time as _time
+
+    _timing = os.environ.get("ASPSEEK_TIMING") == "1"
+    _t0 = _time.time()
+    _marks: list[tuple[str, float]] = []
+
+    def _mark(label: str) -> None:
+        if _timing:
+            _marks.append((label, _time.time() - _t0))
+
     round_ts = config.round_ts_unix(round_id)
 
     # ---- SRC1 frontier scan: due vs not-due (predicates push to parquet).
@@ -159,10 +178,14 @@ def run_round(
     #     checkpoint executes through the stage persists, so nothing is
     #     computed twice; durability stays with the per-round snapshot
     #     commit (StateStore), not these ephemeral blocks.
+    _mark("build.schedule")
     if truncate_lineage:
         scheduled = scheduled.localCheckpoint()  # the one real schedule job
+        _mark("job.schedule_ckpt")
         leftover = leftover.localCheckpoint()  # cache-backed, cheap
+        _mark("job.leftover_ckpt")
         n_sched = scheduled.count()  # RDD block count — trivial
+        _mark("job.n_sched")
     else:
         n_sched = 0  # plan-inspection mode: nothing executes
 
@@ -174,23 +197,71 @@ def run_round(
     #                 big side). At real scale `pages` is bucketed by
     #                 url_canon so even the shuffle-hash path moves only the
     #                 batch side (bucket-local join; tests/test_bucketed_join.py).
-    pages_slim = pages.select(F.col("url").alias("url_canon"), "html")
-    use_broadcast = n_sched <= config.fetch_broadcast_limit
-    if use_broadcast:
-        batch = F.broadcast(scheduled)
-        miss_probe = lambda urls: F.broadcast(urls)  # noqa: E731
+    fetch_meta = ["html", "content_type", "last_modified"]
+    if fetcher is not None:
+        # live-connector path (SRC2): Arrow-batched per-partition fetch
+        found = fetcher(scheduled).persist()
+        raw = found
+        for c in fetch_meta:
+            if c not in raw.columns:
+                typ = "binary" if c == "html" else (
+                    "long" if c == "last_modified" else "string"
+                )
+                raw = raw.withColumn(c, F.lit(None).cast(typ))
     else:
-        batch = scheduled.hint("shuffle_hash")
-        miss_probe = lambda urls: urls.hint("shuffle_hash")  # noqa: E731
-    # persisted: the single pages scan feeds both the hit rows and the
-    # miss-detection anti-join below
-    found = pages_slim.join(batch, on="url_canon", how="inner").persist()
-    misses = scheduled.join(
-        miss_probe(found.select("url_canon")), on="url_canon", how="left_anti"
-    ).withColumn("html", F.lit(None).cast("binary"))
-    raw = found.unionByName(misses).withColumn(
+        pages_slim = pages.select(
+            F.col("url").alias("url_canon"),
+            "html",
+            (
+                F.col("content_type")
+                if "content_type" in pages.columns
+                else F.lit(None).cast("string")
+            ).alias("content_type"),
+            (
+                F.col("last_modified")
+                if "last_modified" in pages.columns
+                else F.lit(None).cast("long")
+            ).alias("last_modified"),
+        )
+        use_broadcast = n_sched <= config.fetch_broadcast_limit
+        if use_broadcast:
+            batch = F.broadcast(scheduled)
+            miss_probe = lambda urls: F.broadcast(urls)  # noqa: E731
+        else:
+            batch = scheduled.hint("shuffle_hash")
+            miss_probe = lambda urls: urls.hint("shuffle_hash")  # noqa: E731
+        # persisted: the single pages scan feeds both the hit rows and the
+        # miss-detection anti-join below
+        found = pages_slim.join(batch, on="url_canon", how="inner").persist()
+        misses = scheduled.join(
+            miss_probe(found.select("url_canon")), on="url_canon", how="left_anti"
+        )
+        for c, typ in (
+            ("html", "binary"), ("content_type", "string"),
+            ("last_modified", "long"),
+        ):
+            misses = misses.withColumn(c, F.lit(None).cast(typ))
+        raw = found.unionByName(misses)
+    raw = raw.withColumn(
         "status",
         F.when(F.col("html").isNotNull(), F.lit(200)).otherwise(F.lit(404)),
+    )
+    # S7 conditional GET: revisit of a page not modified since its last
+    # successful fetch answers 304 (no body re-indexed, no re-discovery);
+    # F5 MIME filter: non-indexable Content-Type is fetched but not parsed.
+    raw = raw.withColumn(
+        "not_modified",
+        F.col("html").isNotNull()
+        & F.col("last_fetch_unix").isNotNull()
+        & F.col("last_modified").isNotNull()
+        & (F.col("last_modified") <= F.col("last_fetch_unix")),
+    ).withColumn(
+        # F5 keys on the MEDIA TYPE (before ';charset=...'), lowercased
+        "mime_ok",
+        F.col("content_type").isNull()
+        | F.lower(F.trim(F.element_at(F.split("content_type", ";"), 1))).isin(
+            list(config.allowed_content_types)
+        ),
     )
     raw = with_content_digests(raw)
 
@@ -240,13 +311,27 @@ def run_round(
     new_urls = seen_filter_new(
         cand, bloom, seen, config, persisted_out=extra_persisted
     )
+    _mark("build.seen")
     if truncate_lineage:
         new_urls = new_urls.localCheckpoint()
+        _mark("job.new_urls_ckpt")
         # parsed is already materialized (the checkpoint above ran through
         # it); truncate it too so the fetched/links writes don't re-analyze
         # the fetch-join + mapInPandas tree per action.
         parsed = parsed_cached.localCheckpoint()
+        _mark("job.parsed_ckpt")
 
+    # F7/S7/F5 status branches, same precedence as the oracle
+    # (model_crawler): 404 miss → 304 not-modified → 302 meta-refresh →
+    # 200 (incl. MIME-filtered pages: fetched, not indexed). is_redirect
+    # (not redirect_canon) drives 302 so a redirect whose target is
+    # config-denied still reads 302.
+    status_col = (
+        F.when(F.col("status") == 404, F.lit(404))
+        .when(F.col("not_modified"), F.lit(304))
+        .when(F.col("is_redirect"), F.lit(302))
+        .otherwise(F.lit(200))
+    )
     fetched = parsed.select(
         F.lit(round_id).alias("round"),
         "url_canon",
@@ -255,13 +340,8 @@ def run_round(
         "depth",
         "seq_in_host",
         F.col("sched_unix").cast("long").alias("sched_unix"),
-        # F7 status branches: 404 miss / 302 meta-refresh redirect / 200.
-        # is_redirect (not redirect_canon) drives the status so a redirect
-        # whose target is config-denied still reads 302 (oracle parity).
-        F.when(F.col("status") == 404, F.lit(404))
-        .when(F.col("is_redirect"), F.lit(302))
-        .otherwise(F.lit(200))
-        .alias("status"),
+        status_col.alias("status"),
+        "content_type",
         "content_crc",
         "content_md5",
         F.col("text_extracted").alias("text"),
@@ -297,10 +377,14 @@ def run_round(
         F.lit(round_id).alias("round_added"),
         "origin_hash64",
         F.lit(config.tag).alias("tag"),
+        F.lit(None).cast("long").alias("last_fetch_unix"),
     )
 
-    # ---- revisit scheduling (Period): fetched URLs return to the frontier
-    revisit = scheduled.select(
+    # ---- revisit scheduling (Period): fetched URLs return to the frontier.
+    # S7: last_fetch_unix records the last NON-304 fetch — a 304 keeps the
+    # previous timestamp (conditional GET keeps comparing against the last
+    # time a body was actually taken), everything else stamps sched_unix.
+    revisit = parsed.select(
         "url_canon",
         "url_hash64",
         "hash32",
@@ -312,11 +396,16 @@ def run_round(
         F.lit(round_id).alias("round_added"),
         "origin_hash64",
         "tag",
+        F.when(status_col == 304, F.col("last_fetch_unix"))
+        .otherwise(F.col("sched_unix"))
+        .cast("long")
+        .alias("last_fetch_unix"),
     )
 
     frontier_cols = [
         "url_canon", "url_hash64", "hash32", "host", "depth",
         "next_fetch_unix", "round_added", "origin_hash64", "tag",
+        "last_fetch_unix",
     ]
     new_frontier = (
         not_due.select(*frontier_cols)
@@ -329,6 +418,12 @@ def run_round(
         "round_added", F.lit(round_id)
     )
     new_bloom = bloom_add(new_urls, bloom, config)
+    if _timing:
+        deltas = [
+            f"{label}+{t - prev:.1f}s"
+            for (label, t), (_, prev) in zip(_marks, [("", 0.0)] + _marks[:-1])
+        ]
+        print(f"[run_round {round_id}] " + " ".join(deltas), flush=True)
 
     return RoundResult(
         frontier=new_frontier,

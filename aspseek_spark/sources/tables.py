@@ -49,6 +49,9 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("round_added", T.IntegerType()),
         T.StructField("origin_hash64", T.LongType()),
         T.StructField("tag", T.IntegerType()),
+        # S7: unix time of the last non-304 fetch (null = never fetched);
+        # drives the If-Modified-Since conditional revisit
+        T.StructField("last_fetch_unix", T.LongType()),
     ]
 )
 SEEN_SCHEMA = T.StructType(
@@ -171,6 +174,46 @@ class StateStore:
                     shutil.rmtree(path)
                 else:
                     break
+
+    def delete_urls(self, round_id: int, urls: list[str], config) -> None:
+        """URL expiry / tag deletion (north_star cuckoo-deletion use case;
+        reference: DELETE from urlword): remove ``urls`` from the committed
+        seen set, frontier, and probe-filter state at ``round_id`` so the
+        crawl can re-discover and re-fetch them.
+
+        Mechanics: the seen deltas up to round_id are consolidated (minus
+        deletions) into round_id's delta and older delta dirs removed; the
+        frontier snapshot is rewritten without the urls; the bloom blobs of
+        ONLY the touched pids are rebuilt from the surviving seen rows
+        (operators/seen.seen_delete) — bounded work. Deployments with
+        frequent deletion swap the bloom for operators/cuckoo_seen (true
+        O(1) deletes, no rebuild).
+        """
+        from ..operators.seen import seen_delete
+
+        deletes = self.spark.createDataFrame(
+            [(u,) for u in urls], "url_canon string"
+        )
+        new_seen = self.read_seen(round_id).join(
+            deletes, "url_canon", "left_anti"
+        ).localCheckpoint()
+        new_frontier = self.read_frontier(round_id).join(
+            deletes, "url_canon", "left_anti"
+        ).localCheckpoint()
+        new_bloom = seen_delete(
+            new_seen, self.read_bloom(round_id), deletes, config
+        ).localCheckpoint()
+        new_seen.write.mode("overwrite").parquet(
+            self._p("seen_delta", round_id)
+        )
+        for r in range(round_id):
+            p = self._p("seen_delta", r)
+            if os.path.exists(p):
+                shutil.rmtree(p)
+        new_frontier.write.mode("overwrite").parquet(
+            self._p("frontier", round_id)
+        )
+        new_bloom.write.mode("overwrite").parquet(self._p("bloom", round_id))
 
     # -- reads (only committed rounds) ---------------------------------------
     def read_frontier(self, round_id: int) -> DataFrame:

@@ -49,6 +49,19 @@ class WebSpec:
     seed_hosts_frac: float = 0.08  # hosts whose root URL is a crawl seed
     redirect_frac: float = 0.03  # meta-refresh redirect pages (J4/F7 path)
     latin1_frac: float = 0.03  # iso-8859-1 pages (S6 charset conversion)
+    # body length in words. 40 ≈ 1 KB pages (fast unit-test webs); the
+    # BENCH web uses thousands (real web pages are 10-100 KB of HTML —
+    # Common Crawl mean ≈ 60 KB) so per-round parallel work is realistic
+    # relative to fixed coordination cost.
+    body_words: int = 40
+    # i-based (rng-free → adding these NEVER perturbs the rng stream):
+    # every 37th page is non-HTML (F5 MIME filter path); every 11th page
+    # advertises a far-future Last-Modified (always re-fetched on revisit),
+    # the rest are stale (304 on revisit) — S7 conditional-GET path; every
+    # 53rd ordinary page is windows-1251 Cyrillic (S6 charset conversion).
+    nonhtml_every: int = 37
+    fresh_every: int = 11
+    win1251_every: int = 53
 
 
 def _page_url(host: str, host_page_idx: int, rng: np.random.Generator) -> str:
@@ -130,6 +143,8 @@ def generate_web(spec: WebSpec) -> dict[str, pa.Table]:
     texts: list[str] = []
     langs: list[str] = []
     warc_ts: list[int] = []
+    content_types: list[str] = []
+    last_modified: list[int] = []
     body_cache: dict[int, str] = {}
     for i in range(n):
         host = page_hosts[i]
@@ -163,12 +178,14 @@ def generate_web(spec: WebSpec) -> dict[str, pa.Table]:
             body_words = body_cache.setdefault(
                 src,
                 " ".join(
-                    _WORDS[int(w)] for w in rng.integers(0, len(_WORDS), 40)
+                    _WORDS[int(w)]
+                    for w in rng.integers(0, len(_WORDS), spec.body_words)
                 ),
             )
         else:
             body_words = " ".join(
-                _WORDS[int(w)] for w in rng.integers(0, len(_WORDS), 40)
+                _WORDS[int(w)]
+                for w in rng.integers(0, len(_WORDS), spec.body_words)
             )
         lang = _LANGS[int(rng.integers(0, len(_LANGS)))]
         kind = rng.random()
@@ -189,6 +206,16 @@ def generate_web(spec: WebSpec) -> dict[str, pa.Table]:
                 f"<body><p>Résumé naïve café — {body_words}</p>\n"
                 f"{anchors}\n</body></html>"
             ).encode("iso-8859-1", errors="replace")
+        elif spec.win1251_every and i % spec.win1251_every == 11:
+            # S6: Cyrillic page in windows-1251 with a correct meta charset
+            # (i-based branch on the no-extra-draw path: rng stream intact)
+            html = (
+                f"<html><head><title>Страница {i}</title>\n"
+                f'<meta http-equiv="Content-Type" '
+                f'content="text/html; charset=windows-1251"></head>\n'
+                f"<body><p>Тест кодировки — {body_words}</p>\n{anchors}\n"
+                f"</body></html>"
+            ).encode("windows-1251", errors="replace")
         else:
             html = (
                 f"<html><head><title>Page {i} &amp; co</title>\n"
@@ -203,6 +230,17 @@ def generate_web(spec: WebSpec) -> dict[str, pa.Table]:
         texts.append(extract1(html))
         langs.append(lang)
         warc_ts.append((EPOCH_UNIX - 86400 * 30 + i * 7) * 1_000_000)
+        # S7/F5 metadata — i-based, NO rng draws (existing bytes unchanged)
+        content_types.append(
+            "application/octet-stream"
+            if spec.nonhtml_every and i % spec.nonhtml_every == 5
+            else "text/html"
+        )
+        last_modified.append(
+            EPOCH_UNIX + 10 * 365 * 86400  # always-modified ("fresh") page
+            if spec.fresh_every and i % spec.fresh_every == 7
+            else EPOCH_UNIX - 86400 * 30 + i * 7  # stale: 304 on revisit
+        )
 
     # robots bodies
     r_hosts: list[str] = []
@@ -233,6 +271,8 @@ def generate_web(spec: WebSpec) -> dict[str, pa.Table]:
             "html": pa.array(htmls, pa.binary()),
             "text": pa.array(texts, pa.string()),
             "lang": pa.array(langs, pa.string()),
+            "content_type": pa.array(content_types, pa.string()),
+            "last_modified": pa.array(last_modified, pa.int64()),
         }
     )
     seeds = pa.table({"url": pa.array(seed_urls, pa.string())})

@@ -50,7 +50,14 @@ def build_spark(cpus: int):
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("aspseek_spark_bench")
         .config("spark.sql.shuffle.partitions", shuffle_p)
-        .config("spark.sql.adaptive.enabled", "true")
+        .config(
+            # overridable: the crawl's shuffles are explicitly sized and its
+            # skew handled by salting, so AQE's per-stage job boundaries are
+            # pure latency in the latency-bound regime — scaling runs turn
+            # it off (SPARK_GRAFT_AQE=false) and keep the same plan shape
+            "spark.sql.adaptive.enabled",
+            os.environ.get("SPARK_GRAFT_AQE", "true"),
+        )
         .config(
             # default OFF for the crawl: AQE's post-shuffle coalescing was
             # observed collapsing window/agg stages to one partition inside
@@ -81,19 +88,33 @@ def ensure_bench_web(sf: float) -> str:
     """Deterministic synthetic web sized to the sf, cached on disk.
     Seeds cover 25% of hosts so the frontier reaches steady state within
     the warm-up rounds (the north-star metric is steady-state throughput
-    over a large frontier, not cold-start ramp)."""
+    over a large frontier, not cold-start ramp).
+
+    SPARK_GRAFT_BODY_WORDS sizes page bodies: default 40 (~1 KB pages,
+    comparable with earlier rounds' headline numbers); the SCALING protocol
+    uses thousands (real web pages are 10-100 KB of HTML) so per-round
+    parallel work is realistic relative to fixed coordination cost —
+    see scripts/scaling_bench.py."""
     from aspseek_spark.sources.webgen import WebSpec, write_web
 
     n_pages = int(
         os.environ.get("SPARK_GRAFT_WEB_PAGES", max(2000, int(300_000 * sf)))
     )
-    out = os.path.join(REPO, ".cache", f"web_n{n_pages}_s42_v3")
+    body_words = int(os.environ.get("SPARK_GRAFT_BODY_WORDS", "40"))
+    suffix = f"_w{body_words}" if body_words != 40 else ""
+    out = os.path.join(REPO, ".cache", f"web_n{n_pages}{suffix}_s42_v4")
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):
         return out
     if os.path.exists(out):
         shutil.rmtree(out)
-    write_web(out, WebSpec(n_pages=n_pages, seed=42, seed_hosts_frac=0.25))
+    write_web(
+        out,
+        WebSpec(
+            n_pages=n_pages, seed=42, seed_hosts_frac=0.25,
+            body_words=body_words,
+        ),
+    )
     with open(marker, "w") as f:
         f.write("ok")
     return out

@@ -65,7 +65,48 @@ def test_sniff_charset_and_latin1_decode():
     assert sniff_charset(b"<html>no meta</html>") == "utf-8"
     assert sniff_charset(b'<meta charset="UTF-8">') == "utf-8"
     # unknown charset falls back to utf-8
-    assert sniff_charset(b'<meta charset="koi8-r">') == "utf-8"
+    assert sniff_charset(b'<meta charset="ebcdic-weird">') == "utf-8"
+
+
+def test_charset_cyrillic_and_sjis_golden():
+    from aspseek_spark.functions.textextract import (
+        charset_from_content_type,
+        media_type_of,
+    )
+
+    # windows-1251 via meta tag
+    w1251 = (
+        '<html><head><meta charset="windows-1251"></head>'
+        "<body>Тест кодировки</body></html>"
+    ).encode("windows-1251")
+    assert sniff_charset(w1251) == "windows-1251"
+    assert extract1(w1251) == "Тест кодировки"
+    # koi8-r via meta
+    koi = (
+        '<html><head><meta charset="koi8-r"></head>'
+        "<body>привет мир</body></html>"
+    ).encode("koi8-r")
+    assert extract1(koi) == "привет мир"
+    # shift-jis via meta
+    sjis = (
+        '<html><head><meta charset="shift_jis"></head>'
+        "<body>こんにちは</body></html>"
+    ).encode("shift_jis")
+    assert extract1(sjis) == "こんにちは"
+    # HTTP-header charset takes precedence over a WRONG meta tag
+    lying_meta = (
+        '<html><head><meta charset="iso-8859-1"></head>'
+        "<body>Кодировка из заголовка</body></html>"
+    ).encode("windows-1251")
+    hdr = charset_from_content_type("text/html; charset=windows-1251")
+    assert hdr == "windows-1251"
+    assert extract1(lying_meta, hdr) == "Кодировка из заголовка"
+    # without the header the meta (wrongly) wins — mojibake, not a crash
+    assert "Кодировка" not in extract1(lying_meta)
+    # media_type_of strips parameters for the F5 MIME key
+    assert media_type_of("text/html; charset=utf-8") == "text/html"
+    assert media_type_of("Application/PDF") == "application/pdf"
+    assert charset_from_content_type("text/html") is None
 
 
 def test_extract_redirect():

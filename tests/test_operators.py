@@ -153,6 +153,62 @@ def test_morphology_expand_and_query(spark):
     assert got == {0, 1}
 
 
+def test_zone_postings_and_ranking(spark):
+    from aspseek_spark.operators.postings import (
+        build_zone_postings,
+        rank_zone_weighted,
+    )
+
+    rows = [
+        (0, "spark engine internals and tuning notes for spark"),
+        (1, "cooking recipes for spark nothing else here today friend"),
+        (2, "unrelated text about gardens and flowers in spring"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    zp = build_zone_postings(docs, title_tokens=3)
+    z = {(r["doc"], r["word"]): r for r in zp.collect()}
+    # 'spark' is in doc0's title (first 3 tokens) AND body → mask 3, tf both
+    assert z[(0, "spark")]["zone_mask"] == 3
+    assert z[(0, "spark")]["tf_title"] == 1 and z[(0, "spark")]["tf_body"] == 2
+    # 'spark' in doc1 is body-only (position 4 > title span 3) → mask 2
+    assert z[(1, "spark")]["zone_mask"] == 2
+    # title hit outranks more body hits: doc0 (1 title + 2 body = 8+2=10)
+    # vs doc1 (1 body = 1)
+    top = rank_zone_weighted(zp, ["spark"], title_weight=8, k=10).collect()
+    assert [r["doc"] for r in top] == [0, 1]
+    assert top[0]["score"] == 10 and top[1]["score"] == 1
+
+
+def test_simhash_near_pairs_hamming(docs):
+    from aspseek_spark.operators.dedup import simhash_near_pairs
+
+    # identical docs are at hamming 0 — always found via any chunk
+    out = simhash_near_pairs(docs, max_hamming=3, n_chunks=4).collect()
+    got = {(r["a"], r["b"]): r["hamming"] for r in out}
+    assert got.get((0, 3)) == 0
+    # everything reported respects the bound
+    assert all(h <= 3 for h in got.values())
+
+
+def test_md5_hash_mode_matches_xxhash_semantics(docs):
+    """hash_fn choice changes bucket identities, not WHICH near-dups the
+    verified output contains (the exact-Jaccard verify is hash-free)."""
+    from aspseek_spark.operators.dedup import minhash_lsh_pairs, simhash
+
+    for fn in ("xxhash64", "md5"):
+        pairs = {
+            (r["a"], r["b"])
+            for r in minhash_lsh_pairs(
+                docs, num_hashes=32, bands=16, shingle_n=2,
+                jaccard_threshold=0.5, hash_fn=fn,
+            ).collect()
+        }
+        assert (0, 3) in pairs
+    s = {r["doc_id"]: r["simhash"] for r in simhash(docs, hash_fn="md5").collect()}
+    assert s[0] == s[3] and s[0] != s[2]
+    assert all(0 <= v < (1 << 60) for v in s.values())  # 60-bit portable
+
+
 def test_postings_bucketed_write_and_compact(spark, tmp_path):
     from aspseek_spark.operators.postings import (
         build_postings,
