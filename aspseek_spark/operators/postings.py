@@ -150,6 +150,26 @@ def expand_terms(
     return uniq
 
 
+def load_form_map(path: str) -> dict[str, list[str]]:
+    """S10: load a word-form dictionary file into the expand_terms form map
+    (the ispell-dictionary analog, [R:src/spell.cpp] loads affix-expanded
+    dictionaries). Format: one lemma per line, ``lemma: form1 form2 ...``;
+    '#' comments and blank lines ignored; everything lowercased. The map is
+    driver-side (broadcast-sized), exactly like ispell dictionaries are
+    loaded once per indexer process."""
+    out: dict[str, list[str]] = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            lemma, _, forms = line.partition(":")
+            lemma = lemma.strip().lower()
+            if lemma:
+                out[lemma] = [w.lower() for w in forms.split()]
+    return out
+
+
 def docs_with_any_form(
     postings: DataFrame, terms: list[str],
     form_map: dict[str, list[str]] | None = None,

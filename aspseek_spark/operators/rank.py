@@ -51,20 +51,26 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("contrib").alias("in_sum"))
         )
-        # dangling mass: rank held by nodes with no outlinks, spread evenly
-        dangling = (
+        # dangling mass (rank held by nodes with no outlinks, spread evenly)
+        # as a 1-row broadcast folded into the SAME job — no driver-side
+        # scalar collect per iteration (one action per iteration: the
+        # checkpoint below)
+        dangling_df = (
             ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
         )
         new_ranks = (
             nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling_df))
             .select(
                 "node",
                 (
                     F.lit(1.0 - damping)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("in_sum"), F.lit(0.0)) + F.lit(dangling / n_nodes))
+                    * (
+                        F.coalesce(F.col("in_sum"), F.lit(0.0))
+                        + F.col("dangling") / F.lit(float(n_nodes))
+                    )
                 ).alias("rank"),
             )
             .localCheckpoint()  # truncate lineage every iteration

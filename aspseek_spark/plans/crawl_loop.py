@@ -145,6 +145,13 @@ class CrawlJob:
         for df in res.persisted or []:
             df.unpersist()
         res.frontier.unpersist()
+        # drop the py-side references to this round's localCheckpoint RDDs
+        # so the ContextCleaner frees their blocks before the next round's
+        # text lands (bounded memory across arbitrarily many rounds)
+        del res
+        import gc
+
+        gc.collect()
         return metrics
 
     def run(self, seeds: DataFrame, n_rounds: int) -> list[dict]:

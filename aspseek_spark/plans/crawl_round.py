@@ -200,8 +200,8 @@ def run_round(
     fetch_meta = ["html", "content_type", "last_modified"]
     if fetcher is not None:
         # live-connector path (SRC2): Arrow-batched per-partition fetch
-        found = fetcher(scheduled).persist()
-        raw = found
+        found_urls = None
+        raw = fetcher(scheduled)
         for c in fetch_meta:
             if c not in raw.columns:
                 typ = "binary" if c == "html" else (
@@ -230,11 +230,17 @@ def run_round(
         else:
             batch = scheduled.hint("shuffle_hash")
             miss_probe = lambda urls: urls.hint("shuffle_hash")  # noqa: E731
-        # persisted: the single pages scan feeds both the hit rows and the
-        # miss-detection anti-join below
-        found = pages_slim.join(batch, on="url_canon", how="inner").persist()
+        # found is NOT persisted: page bodies are the round's dominant bytes
+        # and caching them doubles executor memory pressure for one
+        # downstream read (the parse). Only the url column is cached for the
+        # miss-detection anti-join — its materialization is a PRUNED scan
+        # (url column only; Catalyst never touches html for it).
+        found = pages_slim.join(batch, on="url_canon", how="inner")
+        found_urls = found.select("url_canon")
+        if truncate_lineage:
+            found_urls = found_urls.persist()
         misses = scheduled.join(
-            miss_probe(found.select("url_canon")), on="url_canon", how="left_anti"
+            miss_probe(found_urls), on="url_canon", how="left_anti"
         )
         for c, typ in (
             ("html", "binary"), ("content_type", "string"),
@@ -266,8 +272,15 @@ def run_round(
     raw = with_content_digests(raw)
 
     # ---- §2.9 parse: byte-exact text + outlinks (Arrow batch, html dropped)
-    parsed_cached = parse_fetched(raw, config).drop("html").persist()
-    parsed = parsed_cached  # consumed twice: fetched output + candidates
+    parsed = parse_fetched(raw, config).drop("html")
+    if truncate_lineage:
+        # THE heavy job of the round: pages scan → fetch join → parse, run
+        # exactly once; the checkpoint (html already dropped) is the only
+        # copy of the round's text kept in memory — page BODIES are never
+        # cached anywhere (round-2 OOM lesson: columnar-caching ~1 GB of
+        # html blew a 16g heap while building cache buffers).
+        parsed = parsed.localCheckpoint()
+        _mark("job.parse_ckpt")
 
     # ---- href explosion → candidates (canonical already; dedup per round).
     # J4: redirect targets re-enter at the PARENT depth (no hop cost);
@@ -303,10 +316,9 @@ def run_round(
     )
 
     # ---- J1 URL-seen test (bloom + exact backstop) → definitely-new URLs.
-    # The checkpoint here is the round's second real job: it executes fetch
-    # join → parse → bloom probe → backstop in ONE pass (filling the parsed/
-    # found/probed caches), then truncates lineage so the frontier / seen /
-    # bloom outputs are built on an RDD leaf.
+    # This checkpoint is the round's third job (bloom probe + backstop over
+    # the already-checkpointed parse output — small), truncating lineage so
+    # the frontier / seen / bloom outputs are built on an RDD leaf.
     extra_persisted: list = []
     new_urls = seen_filter_new(
         cand, bloom, seen, config, persisted_out=extra_persisted
@@ -315,11 +327,6 @@ def run_round(
     if truncate_lineage:
         new_urls = new_urls.localCheckpoint()
         _mark("job.new_urls_ckpt")
-        # parsed is already materialized (the checkpoint above ran through
-        # it); truncate it too so the fetched/links writes don't re-analyze
-        # the fetch-join + mapInPandas tree per action.
-        parsed = parsed_cached.localCheckpoint()
-        _mark("job.parsed_ckpt")
 
     # F7/S7/F5 status branches, same precedence as the oracle
     # (model_crawler): 404 miss → 304 not-modified → 302 meta-refresh →
@@ -348,20 +355,9 @@ def run_round(
         F.size("outlinks").alias("n_links"),
     )
 
-    # D5/J6: the crawl link graph for `index -R` rank + lineage, rebuilt on
-    # the truncated parsed (cheap projections)
-    links_t = parsed.select(
-        F.col("url_hash64").alias("origin_hash64"),
-        (F.col("depth") + 1).alias("depth"),
-        F.explode("outlinks").alias("url_canon"),
-    ).unionByName(
-        parsed.filter(F.col("redirect_canon").isNotNull()).select(
-            F.col("url_hash64").alias("origin_hash64"),
-            F.col("depth"),
-            F.col("redirect_canon").alias("url_canon"),
-        )
-    )
-    link_graph = links_t.select(
+    # D5/J6: the crawl link graph for `index -R` rank + lineage (cheap
+    # projections over the truncated parsed)
+    link_graph = links.select(
         F.col("origin_hash64").alias("src_hash64"),
         F.xxhash64("url_canon").alias("dst_hash64"),
         F.lit(round_id).alias("round"),
@@ -432,7 +428,8 @@ def run_round(
         robots_delta=robots_delta,
         fetched=fetched,
         round_ts=round_ts,
-        persisted=[parsed_cached, robots_delta, found, due_hosts]
+        persisted=[robots_delta, due_hosts]
+        + ([found_urls] if found_urls is not None else [])
         + sched_persisted + extra_persisted,
         scheduled=scheduled,
         new_urls=new_urls,

@@ -209,6 +209,32 @@ def test_md5_hash_mode_matches_xxhash_semantics(docs):
     assert all(0 <= v < (1 << 60) for v in s.values())  # 60-bit portable
 
 
+def test_form_map_file_loading(spark, tmp_path):
+    from aspseek_spark.operators.postings import (
+        build_postings,
+        docs_with_any_form,
+        load_form_map,
+    )
+
+    p = tmp_path / "forms.dict"
+    p.write_text(
+        "# english inflections\n"
+        "run: ran running runs\n"
+        "Table: tables  # furniture\n"
+        "\n"
+        "bad-line-no-colon\n"
+    )
+    fm = load_form_map(str(p))
+    assert fm == {"run": ["ran", "running", "runs"], "table": ["tables"]}
+    docs = spark.createDataFrame(
+        [(0, "she ran home"), (1, "a running start"), (2, "nothing")],
+        "doc_id long, text string",
+    )
+    posts = build_postings(docs, "doc_id", "text")
+    got = {r["doc"] for r in docs_with_any_form(posts, ["run"], fm).collect()}
+    assert got == {0, 1}
+
+
 def test_postings_bucketed_write_and_compact(spark, tmp_path):
     from aspseek_spark.operators.postings import (
         build_postings,
