@@ -286,12 +286,23 @@ def generate_web(spec: WebSpec) -> dict[str, pa.Table]:
 
 
 def write_web(out_dir: str, spec: WebSpec) -> dict[str, str]:
-    """Write the three fixture parquets; returns name→path. Idempotent."""
+    """Write the three fixture parquets; returns name→path. Idempotent.
+
+    Row groups are sized to ~32 MB: pyarrow's default (1M rows/group) puts
+    the ENTIRE corpus in one row group, and Spark assigns a row group to a
+    single input split — a 3.3 GB single-group file made every scan (and
+    the whole fetch→parse pipeline above it) run as ONE task regardless of
+    cluster size. Splittable row groups are what makes the pages side
+    scan-parallel, exactly like a production WARC/Iceberg layout.
+    """
     os.makedirs(out_dir, exist_ok=True)
     tables = generate_web(spec)
     paths = {}
     for name, table in tables.items():
         path = os.path.join(out_dir, f"{name}.parquet")
-        pq.write_table(table, path)
+        rows = max(1, table.num_rows)
+        avg_row = max(1, table.nbytes // rows)
+        group_rows = max(64, min(1 << 20, (32 << 20) // avg_row))
+        pq.write_table(table, path, row_group_size=group_rows)
         paths[name] = path
     return paths

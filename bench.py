@@ -102,7 +102,7 @@ def ensure_bench_web(sf: float) -> str:
     )
     body_words = int(os.environ.get("SPARK_GRAFT_BODY_WORDS", "40"))
     suffix = f"_w{body_words}" if body_words != 40 else ""
-    out = os.path.join(REPO, ".cache", f"web_n{n_pages}{suffix}_s42_v4")
+    out = os.path.join(REPO, ".cache", f"web_n{n_pages}{suffix}_s42_v5")
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):
         return out
