@@ -11,8 +11,9 @@ is generated once per scale and cached under .cache/ (deterministic
 seed=42, so the cache is reproducible).
 
 Extra top-level keys (crawl_urls_per_sec, cpus) give the north-star
-throughput number; BASELINE.md documents the local[8]-vs-local[32] scaling
-protocol (scripts/scaling_bench.py).
+throughput number; BASELINE.md documents the N-vs-4N scaling protocol
+(scripts/scaling_bench.py: interleaved local[2]/local[8] legs, realistic
+page sizes, stages/jobs-per-round from the event log).
 """
 
 from __future__ import annotations
