@@ -475,7 +475,10 @@ def _q34_pagerank_suppliers(spark, sf_dir):
 
 
 def _q35_postings_and_phrase(spark, sf_dir):
-    # search-side AND + posting build (J7/SO5) on documents
+    # search-side AND + posting build (J7/SO5) on documents. At this sf the
+    # corpus is tokenized inline; the 100× path probes the STORED bucketed
+    # index instead (postings.probe_postings_bucketed — partition-pruned to
+    # the terms' word-hash buckets; plan-tested in test_operators).
     from aspseek_spark.operators.postings import build_postings, docs_with_all
 
     d = _t(spark, sf_dir, "documents")

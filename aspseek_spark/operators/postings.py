@@ -260,6 +260,32 @@ def write_postings_bucketed(
     )
 
 
+def probe_postings_bucketed(
+    spark, path: str, terms: list[str], n_buckets: int = 64
+) -> DataFrame:
+    """Term probe against the BUCKETED postings layout: computes the terms'
+    word-hash buckets driver-side and prunes the scan to those partition
+    directories — the scale path for q35-style AND/OR queries (re-tokenizing
+    the corpus per query is fine at sf0.1 and wrong at 100×; probing the
+    stored index touches only ~len(terms)/n_buckets of it). Returns the
+    matching postings rows; feed them to docs_with_all / docs_with_any."""
+    from pyspark.sql import functions as F  # local: keep module import light
+
+    lowered = [t.lower() for t in terms]
+    # same JVM hash the writer used — computed here via a 1-row plan so the
+    # bucket ids match the stored layout bit-for-bit
+    rows = (
+        spark.createDataFrame([(t,) for t in lowered], "word string")
+        .select(F.pmod(F.xxhash64("word"), F.lit(n_buckets)).alias("b"))
+        .collect()
+    )
+    buckets = sorted({r["b"] for r in rows})
+    probe = spark.read.parquet(path).filter(
+        F.col("word_bucket").isin(buckets) & F.col("word").isin(lowered)
+    )
+    return probe.drop("word_bucket")
+
+
 def compact_postings(
     spark, main_path: str, delta: DataFrame, out_path: str, n_buckets: int = 64
 ) -> None:

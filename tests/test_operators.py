@@ -260,6 +260,41 @@ def test_postings_bucketed_write_and_compact(spark, tmp_path):
     assert a0["tf"] == 3  # 2 from main + 1 from delta
 
 
+def test_bucketed_postings_probe_prunes_partitions(spark, tmp_path):
+    """The q35 scale path: a term probe against the stored bucketed index
+    must PRUNE to the terms' word-hash buckets (PartitionFilters in the
+    scan), not re-read the whole index — and return the same rows as a
+    full-scan filter."""
+    import io
+    from contextlib import redirect_stdout
+
+    from aspseek_spark.operators.postings import (
+        build_postings,
+        docs_with_all,
+        probe_postings_bucketed,
+        write_postings_bucketed,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 17} spark data w{i % 5} filler{i}") for i in range(300)],
+        "doc_id long, text string",
+    )
+    p = build_postings(docs, "doc_id", "text")
+    path = str(tmp_path / "idx")
+    write_postings_bucketed(p, path, n_buckets=16)
+
+    probe = probe_postings_bucketed(spark, path, ["spark", "data"], n_buckets=16)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "word_bucket" in plan, plan
+
+    got = {r["doc"] for r in docs_with_all(probe, ["spark", "data"]).collect()}
+    want = {r["doc"] for r in docs_with_all(p, ["spark", "data"]).collect()}
+    assert got == want == set(range(300))
+
+
 def test_pagerank_sink_gets_rank(spark):
     from aspseek_spark.operators.rank import pagerank
 
