@@ -684,6 +684,58 @@ def _q48_revisit_due(spark, sf_dir):
     )
 
 
+def _q49_lang_id(spark, sf_dir):
+    # heuristic language ID (operators/textstats.lang_id): argmax of
+    # per-language stopword hit ratio, ties/all-zero → 'und' with the
+    # deterministic sorted-language tie-break
+    from aspseek_spark.operators.textstats import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return lang_id(d).select("doc_id", "lang_pred", "lang_pred_score")
+
+
+def _q50_revisit_validator(spark, sf_dir):
+    # S7 validator selection (RFC 9110 §13.1.2) — the ENGINE's shared
+    # column expression (operators/parse.validator_not_modified, the same
+    # one run_round's not_modified flag uses) over a deterministic fetch
+    # history synthesized from the events table: etag_server/etag_stored/
+    # last_modified/last_fetch patterns cover every precedence branch
+    # (both-etags equal, both-etags changed, etag-missing → Last-Modified
+    # fallback in both directions, never-fetched).
+    from aspseek_spark.operators.parse import validator_not_modified
+
+    e = _t(spark, sf_dir, "events").select("event_id", "props")
+    etag_server = F.when(
+        F.col("event_id") % 3 != 1, F.md5(F.col("props").cast("binary"))
+    )
+    etag_stored = F.when(
+        F.col("event_id") % 5 == 0, F.lit(None).cast("string")
+    ).when(
+        F.col("event_id") % 7 == 0,
+        F.md5(F.concat(F.col("props"), F.lit("x")).cast("binary")),
+    ).otherwise(F.md5(F.col("props").cast("binary")))
+    last_modified = (F.col("event_id") % 1000).cast("long")
+    last_fetch = F.when(
+        F.col("event_id") % 4 == 0, F.lit(None).cast("long")
+    ).otherwise(F.lit(500).cast("long"))
+    nm = validator_not_modified(
+        etag_server, etag_stored, last_modified, last_fetch
+    )
+    validator = (
+        F.when(etag_server.isNotNull() & etag_stored.isNotNull(), "etag")
+        .when(last_fetch.isNotNull(), "last-modified")
+        .otherwise("none")
+    )
+    return e.select(
+        "event_id",
+        validator.alias("validator"),
+        F.coalesce(nm, F.lit(False)).cast("int").alias("not_modified"),
+        F.when(F.coalesce(nm, F.lit(False)), F.lit(304))
+        .otherwise(F.lit(200))
+        .alias("status"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -734,6 +786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_simhash_near_pairs": _q46_simhash_near_pairs,
         "q47_zone_rank": _q47_zone_rank,
         "q48_revisit_due": _q48_revisit_due,
+        "q49_lang_id": _q49_lang_id,
+        "q50_revisit_validator": _q50_revisit_validator,
     }
 
 
@@ -1057,6 +1111,43 @@ def _lsh_ann_oracle() -> str:
                  / (sqrt(list_dot_product(v, v)) * {qn}) DESC,
                  vec_id ASC
         LIMIT 10
+    """
+
+
+def _lang_id_oracle() -> str:
+    """DuckDB twin of operators/textstats.lang_id, generated from the SAME
+    STOPWORDS constant so both sides share one source of truth. The Spark
+    fold ("later language wins only if STRICTLY greater") is equivalent to:
+    max ratio wins, ties go to the earliest language in sorted order, and
+    an all-zero max yields 'und'."""
+    from aspseek_spark.operators.textstats import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    ratio_cols = []
+    for lang in langs:
+        stops = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        ratio_cols.append(
+            f"CASE WHEN len(t) > 0 THEN "
+            f"len(list_filter(t, x -> list_contains([{stops}], lower(x))))"
+            f" / len(t) ELSE 0.0 END AS r_{lang}"
+        )
+    greatest = "greatest(" + ", ".join(f"r_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN m <= 0 THEN 'und'"
+    for lang in langs[:-1]:
+        case += f" WHEN r_{lang} = m THEN '{lang}'"
+    case += f" ELSE '{langs[-1]}' END"
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ), ratios AS (
+            SELECT doc_id, {", ".join(ratio_cols)} FROM toks
+        ), best AS (
+            SELECT doc_id, {greatest} AS m, * FROM ratios
+        )
+        SELECT doc_id, {case} AS lang_pred, m AS lang_pred_score FROM best
     """
 
 
@@ -1445,6 +1536,46 @@ def oracle_sql() -> dict[str, str]:
         "q44_ivf_ann": _ivf_oracle(),
         "q45_lsh_ann": _lsh_ann_oracle(),
         "q46_simhash_near_pairs": _simhash_near_oracle(),
+        "q49_lang_id": _lang_id_oracle(),
+        "q50_revisit_validator": """
+            -- S7 validator selection (RFC 9110 §13.1.2): If-None-Match
+            -- decides alone when BOTH sides have an etag, else fall back
+            -- to If-Modified-Since — replaying the engine's shared
+            -- validator_not_modified expression over the same synthetic
+            -- fetch history (md5-derived etags; %7 rows simulate changed
+            -- content, %3 no server etag, %5 never-stored, %4 no history)
+            WITH hist AS (
+                SELECT event_id,
+                       CASE WHEN event_id % 3 != 1 THEN md5(props) END
+                           AS etag_server,
+                       CASE WHEN event_id % 5 = 0 THEN NULL
+                            WHEN event_id % 7 = 0 THEN md5(props || 'x')
+                            ELSE md5(props) END AS etag_stored,
+                       event_id % 1000 AS last_modified,
+                       CASE WHEN event_id % 4 = 0 THEN NULL
+                            ELSE 500 END AS last_fetch
+                FROM events
+            ), judged AS (
+                SELECT event_id,
+                       CASE WHEN etag_server IS NOT NULL
+                                 AND etag_stored IS NOT NULL THEN 'etag'
+                            WHEN last_fetch IS NOT NULL THEN 'last-modified'
+                            ELSE 'none' END AS validator,
+                       coalesce(
+                           CASE WHEN etag_server IS NOT NULL
+                                     AND etag_stored IS NOT NULL
+                                THEN etag_server = etag_stored
+                                ELSE last_fetch IS NOT NULL
+                                     AND last_modified IS NOT NULL
+                                     AND last_modified <= last_fetch END,
+                           false) AS nm
+                FROM hist
+            )
+            SELECT event_id, validator,
+                   CASE WHEN nm THEN 1 ELSE 0 END AS not_modified,
+                   CASE WHEN nm THEN 304 ELSE 200 END AS status
+            FROM judged
+        """,
         "q38_word_doc_freq": """
             WITH toks AS (
                 SELECT doc_id AS doc,

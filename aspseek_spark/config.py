@@ -56,21 +56,46 @@ class CrawlConfig:
     # and no outlinks. None in the corpus column ⇒ treated as text/html.
     allowed_content_types: tuple[str, ...] = ("text/html",)
     # --- engine-layout knobs (no reference analog) ---
+    # J1 probe layer: 'bloom' (default; deletes rebuild touched blobs) or
+    # 'cuckoo' (north_star deletion fallback: true O(1) deletes, same
+    # partitioned layout + exact-backstop contract — operators/cuckoo_seen)
+    probe: str = "bloom"
     bloom_partitions: int = 32  # P: bloom blob partitions (≈1024 at 1e10 keys)
     bloom_bits_per_partition: int = 1 << 20  # m per partition
     bloom_num_hashes: int = 7  # k
+    cuckoo_buckets_per_partition: int = 1 << 14
     shuffle_partitions: int = 32
     # fetch-join strategy switch: batches up to this size broadcast into the
     # pages scan (pages never shuffles); larger batches fall back to a
     # shuffle-hash join — at real scale against a BUCKETED pages table the
     # bucketed side still does not shuffle (see plans/crawl_round.py J3).
     fetch_broadcast_limit: int = 2_000_000
+    # J1 exact-backstop layout: the seen table is maintained as a BUCKETED
+    # table (bucketBy url_canon) so the backstop anti-join is bucket-local —
+    # only the maybe-seen slice shuffles into the bucket layout; the 10^10-row
+    # seen side is scanned in place (≈1024+ buckets at design scale).
+    seen_buckets: int = 8
+    # SNK1 frontier layout: the frontier is partitioned by a due-time bucket
+    # fpart = next_fetch_unix // (round_interval_s * frontier_part_rounds) so
+    # a round rewrites ONLY partitions it touched (due + new + revisit);
+    # the ~period_s/interval untouched future partitions — the bulk of a
+    # 10^10-row frontier — keep their existing files byte-identical.
+    frontier_part_rounds: int = 4
+    # W1 adaptive skew salting (§7 hard-part 6): hosts whose politeness
+    # leftover exceeded salt_group_target rows last round get a per-host
+    # stage-1 salt S(host) = ceil(backlog / salt_group_target), keeping
+    # stage-1 window partitions bounded regardless of per-host skew. The
+    # two-stage schedule is salt-invariant, so fetch order never changes.
+    adaptive_salt: bool = True
+    salt_group_target: int = 4096
 
     def __post_init__(self) -> None:
         if self.max_hops < 0 or self.delta_time_s < 0 or self.host_budget < 1:
             raise ValueError("invalid CrawlConfig")
         if self.bloom_partitions < 1 or self.bloom_bits_per_partition < 8:
             raise ValueError("invalid bloom sizing")
+        if self.probe not in ("bloom", "cuckoo"):
+            raise ValueError("probe must be 'bloom' or 'cuckoo'")
 
     def url_allowed(self, url: str) -> bool:
         """Config allow/deny chain — shared by engine UDF and oracle."""

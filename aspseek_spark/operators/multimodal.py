@@ -55,7 +55,20 @@ def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 def extract_features(
     media: DataFrame, strict: bool = False, payload_col: str = "payload"
 ) -> DataFrame:
-    """media(+payload binary) → + features array<float> via mapInPandas."""
+    """media(+payload binary) → + features array<float> via mapInPandas.
+
+    CODEC DROP-IN (when PIL/torchvision are installed): replace the
+    ``_fake_decode(bytes(p))`` call below with exactly
+
+        img = PIL.Image.open(io.BytesIO(p)).convert("RGB")
+        feats = model(preprocess(img))          # np.ndarray, shape (dim,)
+
+    keeping everything else — the mapInPandas signature, the Arrow batch
+    iteration, the None-payload → None-features rule, and the
+    ``array<float>`` output schema — byte-for-byte as is. The operator's
+    Spark plan (partitioning, batch shape, schema) is what the tests pin;
+    only the per-payload function changes.
+    """
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in media.schema.fields
     ) + ", features array<float>"
@@ -80,7 +93,15 @@ def resize_images(
     media: DataFrame, target_w: int, target_h: int, strict: bool = False
 ) -> DataFrame:
     """Resize stub: passes payload through, rewrites width/height metadata.
-    Real implementation = PIL resize inside the same mapInPandas shape."""
+
+    CODEC DROP-IN: inside the batch loop, per row,
+
+        img = PIL.Image.open(io.BytesIO(payload))
+        out = io.BytesIO(); img.resize((target_w, target_h)).save(out, fmt)
+        payload = out.getvalue()
+
+    assigning the re-encoded payload alongside the width/height rewrite —
+    the filter(kind='image'), schema and batch shape stay unchanged."""
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in media.schema.fields
     )
@@ -101,7 +122,16 @@ def sample_frames(
     media: DataFrame, every_ms: int, strict: bool = False
 ) -> DataFrame:
     """Video frame sampling stub: one row per sampled timestamp with a
-    deterministic fake frame digest (real impl: ffmpeg seek+decode)."""
+    deterministic fake frame digest.
+
+    CODEC DROP-IN: replace the digest computation with
+
+        container = av.open(io.BytesIO(payload))        # PyAV/ffmpeg
+        container.seek(ts * 1000, backward=True)
+        frame = next(container.decode(video=0)).to_ndarray()
+
+    emitting frame bytes (or a real digest of them) per sampled ts — the
+    one-row-in/N-rows-out UDTF shape and output schema stay unchanged."""
     out_schema = "media_id long, frame_ts_ms int, frame_digest string"
 
     def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -134,3 +134,19 @@ def with_content_digests(df: DataFrame, html_col: str = "html") -> DataFrame:
     return df.withColumn("content_crc", F.crc32(F.col(html_col))).withColumn(
         "content_md5", F.md5(F.col(html_col))
     )
+
+
+def validator_not_modified(etag, last_etag, last_modified, last_fetch_unix):
+    """S7 conditional-GET validator selection as a pure Column expression
+    (RFC 9110 §13.1.2): when the server sends an ETag AND one is stored,
+    If-None-Match decides ALONE (etag equality — even if Last-Modified
+    claims the page changed); otherwise fall back to If-Modified-Since.
+    Shared by run_round's not_modified flag and the driver's q50 entry so
+    the engine logic itself is what the DuckDB oracle checks."""
+    return F.when(
+        etag.isNotNull() & last_etag.isNotNull(), etag == last_etag
+    ).otherwise(
+        last_fetch_unix.isNotNull()
+        & last_modified.isNotNull()
+        & (last_modified <= last_fetch_unix)
+    )

@@ -25,6 +25,14 @@ in two stages with identical semantics:
 Budget and DeltaTime are enforced per host (not per host+salt) in stage 2,
 preserving spacing semantics. AQE skew-join handling stays enabled for the
 joins around this operator (session config).
+
+S is ADAPTIVE per host (``host_salts``): the two-stage result is identical
+for ANY salt assignment (stage 2 re-ranks exactly), so S(host) is free to
+grow with the host's due backlog without touching fetch order. The crawl
+derives it from the PREVIOUS round's leftover counts (a host with leftover
+rows is exactly a host whose backlog overflowed its salt groups) — see
+crawl_round/crawl_loop; only hosts needing S > default are carried, so the
+host→salt side stays broadcast-sized even at 10^8 total hosts.
 """
 
 from __future__ import annotations
@@ -44,7 +52,8 @@ def _order() -> list:
 
 
 def schedule_round_split(
-    due: DataFrame, config: CrawlConfig, round_ts: int, salt_factor: int = 8
+    due: DataFrame, config: CrawlConfig, round_ts: int, salt_factor: int = 8,
+    host_salts: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, list]:
     """Due frontier rows → (scheduled, leftover, persisted).
 
@@ -55,6 +64,11 @@ def schedule_round_split(
                rewrite (round-1 verdict fix: one fewer broadcast + join per
                round, and correct at any batch size by construction).
     persisted: intermediates the caller must unpersist after the commit.
+    host_salts: optional (host, salt) overrides for SKEWED hosts — stage-1
+               salt becomes coalesce(per-host salt, salt_factor), keeping
+               stage-1 partitions bounded at ~due(host)/S(host) rows. Tiny
+               by construction (only over-backlog hosts), so it broadcasts.
+               Output is provably identical for any salt assignment.
 
     Input must have: url_canon, host, depth, next_fetch_unix.
     """
@@ -78,9 +92,20 @@ def schedule_round_split(
     # stage 1: salted local top-B (caps skew without changing semantics).
     # Persisted: both the survivors (→ stage 2) and the dropped rows
     # (→ leftover) read it.
-    salted = due.withColumn(
-        "_salt", F.pmod(F.hash("url_canon"), F.lit(salt_factor))
-    )
+    if host_salts is not None:
+        salted = due.join(
+            F.broadcast(host_salts.select("host", "salt")), "host", "left"
+        ).withColumn(
+            "_salt",
+            F.pmod(
+                F.hash("url_canon"),
+                F.coalesce(F.col("salt"), F.lit(salt_factor)),
+            ),
+        ).drop("salt")
+    else:
+        salted = due.withColumn(
+            "_salt", F.pmod(F.hash("url_canon"), F.lit(salt_factor))
+        )
     w1 = Window.partitionBy("host", "_salt").orderBy(*_order())
     stage1 = salted.withColumn("_rn1", F.row_number().over(w1)).persist()
     persisted.append(stage1)

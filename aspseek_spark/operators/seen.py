@@ -37,7 +37,18 @@ from pyspark.sql import functions as F
 from ..config import CrawlConfig
 from ..functions.hashing import bloom_fill_ratio, bloom_set, bloom_test, empty_bloom
 
-BLOOM_STATE_SCHEMA = "pid int, bits binary, n_keys long, fill_ratio double"
+BLOOM_STATE_SCHEMA = (
+    "pid int, bits binary, n_keys long, fill_ratio double, fmt int"
+)
+
+# Bloom blob FORMAT VERSION, stamped on every blob row. The bit positions
+# are a pure function of the hash family (fmt 1 = round-1 blake2b pairs,
+# fmt 2 = JVM xxhash64 double-hashing bases) — probing a blob written by a
+# different family yields silent FALSE NEGATIVES, and seen_filter_new
+# trusts a bloom miss as definitely-new. CrawlJob.ensure_init therefore
+# rebuilds the blobs from the exact seen table whenever the committed
+# state's fmt (null for pre-versioning blobs) differs from this constant.
+BLOOM_FMT = 2
 
 _H2_SALT = "aspseek-bloom-h2"
 
@@ -107,8 +118,18 @@ def seen_filter_new(
     Output keeps the candidate schema (pid/maybe_seen/bases dropped). The
     probed intermediate is persisted (consumed by both branches); the caller
     unpersists it via ``persisted_out``.
+
+    The probe layer follows config.probe: the partitioned bloom (default)
+    or the cuckoo filter (deletion-heavy crawl spaces) — both share the
+    same contract (miss = definitely new; hit = ask the exact backstop),
+    so the backstop and everything downstream is probe-agnostic.
     """
-    probed = bloom_probe(candidates, bloom_state, config).persist()
+    if config.probe == "cuckoo":
+        from .cuckoo_seen import cuckoo_probe
+
+        probed = cuckoo_probe(candidates, bloom_state, config).persist()
+    else:
+        probed = bloom_probe(candidates, bloom_state, config).persist()
     if persisted_out is not None:
         persisted_out.append(probed)
     cols = [
@@ -117,17 +138,21 @@ def seen_filter_new(
     ]
     definite_new = probed.filter(~F.col("maybe_seen")).select(*cols)
     maybe = probed.filter(F.col("maybe_seen")).select(*cols)
-    # exact backstop, shuffle-free: the maybe set is small (true dups were
-    # mostly killed upstream of this call only by the bloom — after steady
-    # state most maybes ARE seen; still bounded by the candidate batch), so
-    # probe it INTO the big seen table as a broadcast semi-join (seen is
-    # only SCANNED, never shuffled — at 10^10 rows that is the difference
-    # between a pruned columnar scan and a full-table sort-merge exchange),
-    # then kill the confirmed hits with a broadcast anti-join.
-    hits = seen.select("url_canon").join(
-        F.broadcast(maybe.select("url_canon")), on="url_canon", how="left_semi"
+    # exact backstop: one left_anti join of the maybe slice against the
+    # exact seen table. At steady state most maybes ARE seen, so the maybe
+    # slice grows with the candidate batch and must NEVER be broadcast
+    # (round-2 verdict: multi-GB per-round broadcast at the 10^6-10^7
+    # scheduled design point). The join strategy is left to the planner:
+    #   - seen stored as a BUCKETED table on url_canon (StateStore's
+    #     seen_bucketed, the scale path): the seen side is scanned in place
+    #     under no Exchange and only the maybe slice shuffles into the
+    #     bucket layout (plan-asserted: scripts/explain_plans.py check 10);
+    #   - seen small (fresh crawls / unit fixtures): the planner broadcasts
+    #     the seen side (build side of the anti-join) — also correct, and
+    #     the broadcast is of seen, never of the batch-sized maybe slice.
+    survivors = maybe.join(
+        seen.select("url_canon"), on="url_canon", how="left_anti"
     )
-    survivors = maybe.join(F.broadcast(hits), on="url_canon", how="left_anti")
     return definite_new.unionByName(survivors)
 
 
@@ -148,7 +173,7 @@ def bloom_add(
 
         if left.empty and right.empty:
             return pd.DataFrame(
-                columns=["pid", "bits", "n_keys", "fill_ratio"]
+                columns=["pid", "bits", "n_keys", "fill_ratio", "fmt"]
             )
         if right.empty or right["bits"].iloc[0] is None:
             pid = int(left["pid"].iloc[0])
@@ -167,6 +192,7 @@ def bloom_add(
                 "bits": [bits.tobytes()],
                 "n_keys": [n0 + len(left)],
                 "fill_ratio": [bloom_fill_ratio(bits)],
+                "fmt": [BLOOM_FMT],
             }
         )
 
@@ -175,6 +201,21 @@ def bloom_add(
         .cogroup(bloom_state.groupby("pid"))
         .applyInPandas(_build, schema=BLOOM_STATE_SCHEMA)
     )
+
+
+def probe_add(
+    new_urls: DataFrame, state: DataFrame, config: CrawlConfig
+) -> DataFrame:
+    """Insert new keys into the configured probe layer (bloom or cuckoo) —
+    the probe-agnostic face run_round/init_state use."""
+    if config.probe == "cuckoo":
+        from .cuckoo_seen import cuckoo_add
+
+        return cuckoo_add(
+            new_urls, state, config,
+            n_buckets_per_partition=config.cuckoo_buckets_per_partition,
+        )
+    return bloom_add(new_urls, state, config)
 
 
 def seen_delete(
@@ -211,6 +252,7 @@ def seen_delete(
                 "bits": [bits.tobytes()],
                 "n_keys": [len(pdf)],
                 "fill_ratio": [bloom_fill_ratio(bits)],
+                "fmt": [BLOOM_FMT],
             }
         )
 

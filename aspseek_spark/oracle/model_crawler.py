@@ -49,6 +49,9 @@ class FrontierRow:
     next_fetch_unix: int
     # S7: time of last non-304 fetch (None = never fetched)
     last_fetch_unix: int | None = None
+    # S7: ETag stored at the last non-304 fetch (None = none sent);
+    # If-None-Match beats If-Modified-Since when both sides have validators
+    last_etag: str | None = None
 
 
 @dataclass
@@ -58,13 +61,16 @@ class OracleResult:
     frontier: dict[str, FrontierRow] = field(default_factory=dict)
 
 
-def _page_meta(v) -> tuple[bytes, str | None, int | None]:
-    """pages values are bytes (legacy fixtures) or
-    (html, content_type, last_modified)."""
+def _page_meta(v) -> tuple[bytes, str | None, int | None, str | None]:
+    """pages values are bytes (legacy fixtures),
+    (html, content_type, last_modified), or (..., etag)."""
     if isinstance(v, (bytes, bytearray)):
-        return bytes(v), None, None
-    body, ctype, lastmod = v
-    return bytes(body), ctype, lastmod
+        return bytes(v), None, None, None
+    if len(v) == 3:
+        body, ctype, lastmod = v
+        return bytes(body), ctype, lastmod, None
+    body, ctype, lastmod, etag = v
+    return bytes(body), ctype, lastmod, etag
 
 
 def crawl(
@@ -141,17 +147,29 @@ def crawl(
             text = None
             status = 404
             new_last_fetch: int | None = sched_unix
+            new_last_etag: str | None = None
             if page is not None:
-                html, ctype, lastmod = _page_meta(page)
-                if (
-                    r.last_fetch_unix is not None
-                    and lastmod is not None
-                    and lastmod <= r.last_fetch_unix
-                ):
-                    # S7: If-Modified-Since → 304; nothing re-indexed or
-                    # re-discovered; keep the previous fetch timestamp
+                html, ctype, lastmod, etag = _page_meta(page)
+                new_last_etag = etag
+                # S7 validator precedence (engine parity, crawl_round
+                # not_modified): If-None-Match decides alone when both the
+                # server and the stored state have an ETag; otherwise fall
+                # back to If-Modified-Since (RFC 9110 §13.1.2).
+                if etag is not None and r.last_etag is not None:
+                    not_mod = etag == r.last_etag
+                else:
+                    not_mod = (
+                        r.last_fetch_unix is not None
+                        and lastmod is not None
+                        and lastmod <= r.last_fetch_unix
+                    )
+                if not_mod:
+                    # S7: conditional GET → 304; nothing re-indexed or
+                    # re-discovered; keep the previous fetch timestamp and
+                    # the previously stored validator
                     status = 304
                     new_last_fetch = r.last_fetch_unix
+                    new_last_etag = r.last_etag
                 elif (
                     ctype is not None
                     and media_type_of(ctype) not in config.allowed_content_types
@@ -191,7 +209,7 @@ def crawl(
             # revisit scheduling (Period) + S7 last-fetch bookkeeping
             frontier[r.url_canon] = FrontierRow(
                 r.url_canon, r.host, r.depth, sched_unix + config.period_s,
-                new_last_fetch,
+                new_last_fetch, new_last_etag,
             )
 
         # URL-seen test (J1) + frontier insertion
@@ -226,12 +244,18 @@ def load_fixture_dicts(web_dir: str):
     urls = pages_t["url"].to_pylist()
     htmls = pages_t["html"].to_pylist()
     if "content_type" in names and "last_modified" in names:
+        etags = (
+            pages_t["etag"].to_pylist()
+            if "etag" in names
+            else [None] * len(urls)
+        )
         pages = {
-            u: (h, c, lm)
-            for u, h, c, lm in zip(
+            u: (h, c, lm, e)
+            for u, h, c, lm, e in zip(
                 urls, htmls,
                 pages_t["content_type"].to_pylist(),
                 pages_t["last_modified"].to_pylist(),
+                etags,
             )
         }
     else:

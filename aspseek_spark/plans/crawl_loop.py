@@ -44,8 +44,17 @@ class CrawlJob:
         self.fetcher = fetcher  # SRC2 seam: live connector or None=simulated
 
     def ensure_init(self, seeds: DataFrame) -> None:
-        """Commit round-0 state (seed insertion) if nothing is committed."""
-        if self.store.last_committed_round() is not None:
+        """Commit round-0 state (seed insertion) if nothing is committed.
+
+        On RESUME (state already committed), validates the bloom blobs'
+        format version first: blobs written by a different hash family
+        (fmt mismatch / null) would yield silent false negatives — and
+        seen_filter_new trusts a bloom miss as definitely-new — so stale
+        state is rebuilt from the exact seen table before any round runs.
+        """
+        last = self.store.last_committed_round()
+        if last is not None:
+            self._ensure_bloom_format(last)
             return
         st = init_state(self.spark, seeds, self.config)
         self.store.write_round(
@@ -58,19 +67,95 @@ class CrawlJob:
             metrics=None,
         )
 
+    def _ensure_bloom_format(self, last: int) -> None:
+        """Rebuild the committed bloom snapshot from the exact seen table if
+        its blobs carry a different (or missing) format version than the
+        current hash family (operators/seen.BLOOM_FMT). One P-row scalar
+        aggregate when the state is healthy; the rebuild itself is the
+        bounded bloom_add cogroup over seen."""
+        from ..operators.seen import BLOOM_FMT, bloom_add
+        from ..sources.tables import BLOOM_SCHEMA
+
+        if self.config.probe == "cuckoo":
+            # cuckoo tables have a single on-disk format (fingerprint =
+            # low byte of blake2b) — no hash-family migrations to detect
+            return
+        fmts = (
+            self.store.read_bloom(last)
+            .agg(
+                F.min("fmt").alias("lo"),
+                F.max("fmt").alias("hi"),
+                F.count("*").alias("n"),
+            )
+            .collect()[0]
+        )
+        if fmts["n"] > 0 and fmts["lo"] == BLOOM_FMT and fmts["hi"] == BLOOM_FMT:
+            return
+        empty = self.spark.createDataFrame([], BLOOM_SCHEMA)
+        rebuilt = bloom_add(
+            self.store.read_seen(last), empty, self.config
+        ).localCheckpoint()
+        rebuilt.write.mode("overwrite").parquet(self.store._p("bloom", last))
+
+    def _read_host_salts(self, round_id: int):
+        """Adaptive-salt advisory state (host, salt) from ``round_id``'s
+        leftover backlog. ADVISORY, outside the snapshot commit on purpose:
+        a missing/stale file only means a host uses the default salt — the
+        schedule is salt-invariant, so correctness can't depend on it."""
+        import os as _os
+
+        if not self.config.adaptive_salt:
+            return None
+        p = self.store._p("host_salts", round_id)
+        if not _os.path.exists(p):
+            return None
+        return self.spark.read.schema("host string, salt int").parquet(p)
+
+    def _write_host_salts(self, round_id: int, leftover) -> None:
+        """Hosts whose backlog overflowed this round → next round's stage-1
+        salt S(host) = ceil(backlog / salt_group_target). The aggregate runs
+        over the checkpointed leftover blocks (cache-backed scan); only
+        over-target hosts are kept, so the result is broadcast-sized and the
+        driver-side collect is bounded by the number of SKEWED hosts."""
+        import math
+
+        target = self.config.salt_group_target
+        # the default salt (8) already bounds groups at backlog/8, so only
+        # hosts with backlog > 8·target need a bigger S — their override is
+        # ceil(backlog/target) > 8 by construction
+        hot = (
+            leftover.groupBy("host")
+            .count()
+            .filter(F.col("count") > 8 * target)
+            .collect()
+        )
+        if not hot:
+            return
+        rows = [
+            (r["host"], int(min(4096, math.ceil(r["count"] / target))))
+            for r in hot
+        ]
+        self.spark.createDataFrame(rows, "host string, salt int").write.mode(
+            "overwrite"
+        ).parquet(self.store._p("host_salts", round_id))
+
     def run_one(self, round_id: int) -> dict:
         """Execute round ``round_id`` (state from round_id-1) and commit."""
         t0 = time.time()
         prev = round_id - 1
         frontier = self.store.read_frontier(prev)
-        seen = self.store.read_seen(prev)
-        bloom = self.store.read_bloom(prev)
+        # the exact backstop probes the BUCKETED seen table so the join is
+        # bucket-local (seen never shuffles/broadcasts — J1 scale path);
+        # the delta union (read_seen) stays the source of truth elsewhere
+        seen = self.store.read_seen_bucketed(prev, self.config)
+        bloom = self.store.read_probe(prev, self.config)
         robots = self.store.read_robots(prev)
+        host_salts = self._read_host_salts(prev)
 
         res = run_round(
             self.spark, round_id, self.config,
             frontier, seen, bloom, robots, self.pages, self.robots_src,
-            fetcher=self.fetcher,
+            fetcher=self.fetcher, host_salts=host_salts,
         )
 
         import os
@@ -120,8 +205,19 @@ class CrawlJob:
 
         # distributed: per-blob fill ratios were computed next to the blobs
         # by bloom_add; this is a P-row scalar aggregate, no blob collect
-        fill, bloom_keys = bloom_metrics(self.store.read_bloom(round_id))
+        if self.config.probe == "cuckoo":
+            row = (
+                self.store.read_probe(round_id, self.config)
+                .agg(F.sum("n_keys").alias("keys"))
+                .collect()[0]
+            )
+            fill, bloom_keys = 0.0, int(row["keys"] or 0)
+        else:
+            fill, bloom_keys = bloom_metrics(self.store.read_bloom(round_id))
         mark("bloom.metrics")
+        if self.config.adaptive_salt and res.leftover is not None:
+            self._write_host_salts(round_id, res.leftover)
+            mark("host_salts")
         if timing:
             deltas = [
                 f"{label}+{t - prev:.1f}s"
@@ -129,6 +225,25 @@ class CrawlJob:
             ]
             print(f"[round {round_id} timing] " + " ".join(deltas), flush=True)
         elapsed = time.time() - t0
+        # partitioned-frontier write amplification evidence: bytes this
+        # round actually wrote vs the whole frontier's on-disk footprint
+        # (driver-side walk of the snapshot dirs — no Spark job)
+        fdir = self.store._frontier_round_dir(round_id)
+        written = 0
+        if os.path.isdir(fdir):
+            for dp, _dn, fn in os.walk(fdir):
+                written += sum(os.path.getsize(os.path.join(dp, f)) for f in fn)
+        total = 0
+        fmap = self.store.frontier_map(round_id) or {}
+        for v, ver in fmap.items():
+            pdir = os.path.join(
+                self.store._frontier_round_dir(ver), f"fpart={v}"
+            )
+            if os.path.isdir(pdir):
+                for dp, _dn, fn in os.walk(pdir):
+                    total += sum(
+                        os.path.getsize(os.path.join(dp, f)) for f in fn
+                    )
         metrics = {
             "round": round_id,
             "urls_scheduled": n_sched,
@@ -138,6 +253,8 @@ class CrawlJob:
             "bloom_fill": fill,
             "bloom_keys": bloom_keys,
             "elapsed_s": elapsed,
+            "frontier_bytes_written": written,
+            "frontier_bytes_total": total,
         }
         self.spark.createDataFrame([Row(**metrics)]).write.mode(
             "overwrite"

@@ -42,7 +42,7 @@ from ..operators.canonicalize import with_canonical
 from ..operators.parse import parse_fetched, with_content_digests
 from ..operators.politeness import schedule_round_split
 from ..operators.robots_join import fetch_missing_robots, robots_allow_filter
-from ..operators.seen import bloom_add, seen_filter_new
+from ..operators.seen import probe_add, seen_filter_new
 
 
 @dataclass
@@ -59,14 +59,19 @@ class RoundResult:
     new_urls: DataFrame = None
     links: DataFrame = None  # crawl link graph delta (D5/J6)
     n_sched: int = 0  # materialized while choosing the fetch-join strategy
+    # due-but-over-budget rows (checkpointed): the loop derives next
+    # round's adaptive per-host salts from their per-host counts
+    leftover: DataFrame = None
 
 
 def init_state(
     spark: SparkSession, seeds: DataFrame, config: CrawlConfig
 ) -> RoundResult:
-    """Round-0 state: seeds → frontier + seen + bloom (SRC5 seed insertion)."""
-    from ..operators.seen import BLOOM_STATE_SCHEMA  # noqa: F401
-    from ..sources.tables import BLOOM_SCHEMA
+    """Round-0 state: seeds → frontier + seen + probe state (SRC5 seed
+    insertion). The probe state is bloom blobs or cuckoo tables per
+    config.probe — the rest of the round never looks inside it."""
+    from ..operators.seen import probe_add
+    from ..sources.tables import probe_state_schema
 
     seeded = (
         with_canonical(seeds, "url")
@@ -78,14 +83,15 @@ def init_state(
         .withColumn("origin_hash64", F.lit(None).cast("long"))
         .withColumn("tag", F.lit(config.tag))
         .withColumn("last_fetch_unix", F.lit(None).cast("long"))
+        .withColumn("last_etag", F.lit(None).cast("string"))
         .select(
             "url_canon", "url_hash64", "hash32", "host", "depth",
             "next_fetch_unix", "round_added", "origin_hash64", "tag",
-            "last_fetch_unix",
+            "last_fetch_unix", "last_etag",
         )
     )
-    empty_bloom_state = spark.createDataFrame([], BLOOM_SCHEMA)
-    bloom = bloom_add(seeded, empty_bloom_state, config)
+    empty_state = spark.createDataFrame([], probe_state_schema(config))
+    bloom = probe_add(seeded, empty_state, config)
     seen_delta = seeded.select("url_canon", "url_hash64", "hash32", "round_added")
     from ..operators.robots_join import empty_robots
 
@@ -111,6 +117,7 @@ def run_round(
     robots_src: DataFrame,
     truncate_lineage: bool = True,
     fetcher=None,
+    host_salts: DataFrame | None = None,
 ) -> RoundResult:
     """truncate_lineage=False keeps the full declarative plan on every
     output (no eager jobs, no checkpoints) — used by scripts/explain_plans.py
@@ -163,7 +170,7 @@ def run_round(
     # ---- W1/W2 politeness schedule; leftover (due-but-over-budget) comes
     # from the same window ranks — no anti-join, no batch broadcast.
     scheduled, leftover, sched_persisted = schedule_round_split(
-        allowed, config, round_ts
+        allowed, config, round_ts, host_salts=host_salts
     )
 
     # Materialize + TRUNCATE lineage (localCheckpoint). Two reasons:
@@ -197,7 +204,7 @@ def run_round(
     #                 big side). At real scale `pages` is bucketed by
     #                 url_canon so even the shuffle-hash path moves only the
     #                 batch side (bucket-local join; tests/test_bucketed_join.py).
-    fetch_meta = ["html", "content_type", "last_modified"]
+    fetch_meta = ["html", "content_type", "last_modified", "etag"]
     if fetcher is not None:
         # live-connector path (SRC2): Arrow-batched per-partition fetch
         found_urls = None
@@ -222,6 +229,11 @@ def run_round(
                 if "last_modified" in pages.columns
                 else F.lit(None).cast("long")
             ).alias("last_modified"),
+            (
+                F.col("etag")
+                if "etag" in pages.columns
+                else F.lit(None).cast("string")
+            ).alias("etag"),
         )
         use_broadcast = n_sched <= config.fetch_broadcast_limit
         if use_broadcast:
@@ -244,30 +256,57 @@ def run_round(
         )
         for c, typ in (
             ("html", "binary"), ("content_type", "string"),
-            ("last_modified", "long"),
+            ("last_modified", "long"), ("etag", "string"),
         ):
             misses = misses.withColumn(c, F.lit(None).cast(typ))
         raw = found.unionByName(misses)
+    # F6 MaxDocSize is applied HERE, JVM-side, before digests/parse — the
+    # canonical body is the truncated transfer (the reference aborts the
+    # transfer at MaxDocSize), so content_crc/content_md5 hash identical
+    # bytes on the simulated path and the live-connector path (which
+    # truncates at the transport boundary, sources/connector.py). Also
+    # keeps oversized bodies out of every downstream exchange.
     raw = raw.withColumn(
+        "html",
+        F.when(
+            F.col("html").isNotNull(),
+            F.substring(F.col("html"), 1, config.max_doc_size),
+        ),
+    ).withColumn(
         "status",
         F.when(F.col("html").isNotNull(), F.lit(200)).otherwise(F.lit(404)),
     )
     # S7 conditional GET: revisit of a page not modified since its last
-    # successful fetch answers 304 (no body re-indexed, no re-discovery);
+    # successful fetch answers 304 (no body re-indexed, no re-discovery).
+    # Validator precedence (RFC 9110 §13.1.2): when the server sends an
+    # ETag AND we hold one from the last fetch, If-None-Match decides alone
+    # (etag equality — even if Last-Modified claims the page changed);
+    # otherwise fall back to If-Modified-Since. Oracle parity:
+    # oracle/model_crawler.py uses the identical precedence.
     # F5 MIME filter: non-indexable Content-Type is fetched but not parsed.
+    from ..operators.parse import validator_not_modified
+
     raw = raw.withColumn(
         "not_modified",
         F.col("html").isNotNull()
-        & F.col("last_fetch_unix").isNotNull()
-        & F.col("last_modified").isNotNull()
-        & (F.col("last_modified") <= F.col("last_fetch_unix")),
+        & validator_not_modified(
+            F.col("etag"), F.col("last_etag"),
+            F.col("last_modified"), F.col("last_fetch_unix"),
+        ),
     ).withColumn(
-        # F5 keys on the MEDIA TYPE (before ';charset=...'), lowercased
+        # F5 keys on the MEDIA TYPE (before ';charset=...'), lowercased.
+        # ALL leading/trailing whitespace is stripped (\s, not just spaces)
+        # so this matches the oracle's media_type_of (Python str.strip())
+        # byte-for-byte on headers like 'text/html\t' from a live connector.
         "mime_ok",
         F.col("content_type").isNull()
-        | F.lower(F.trim(F.element_at(F.split("content_type", ";"), 1))).isin(
-            list(config.allowed_content_types)
-        ),
+        | F.lower(
+            F.regexp_replace(
+                F.element_at(F.split("content_type", ";"), 1),
+                r"^\s+|\s+$",
+                "",
+            )
+        ).isin(list(config.allowed_content_types)),
     )
     raw = with_content_digests(raw)
 
@@ -374,6 +413,7 @@ def run_round(
         "origin_hash64",
         F.lit(config.tag).alias("tag"),
         F.lit(None).cast("long").alias("last_fetch_unix"),
+        F.lit(None).cast("string").alias("last_etag"),
     )
 
     # ---- revisit scheduling (Period): fetched URLs return to the frontier.
@@ -396,12 +436,17 @@ def run_round(
         .otherwise(F.col("sched_unix"))
         .cast("long")
         .alias("last_fetch_unix"),
+        # a 304 keeps the stored validator; any other fetch stamps the
+        # server's current ETag (null when none was sent / page missed)
+        F.when(status_col == 304, F.col("last_etag"))
+        .otherwise(F.col("etag"))
+        .alias("last_etag"),
     )
 
     frontier_cols = [
         "url_canon", "url_hash64", "hash32", "host", "depth",
         "next_fetch_unix", "round_added", "origin_hash64", "tag",
-        "last_fetch_unix",
+        "last_fetch_unix", "last_etag",
     ]
     new_frontier = (
         not_due.select(*frontier_cols)
@@ -413,7 +458,7 @@ def run_round(
     seen_delta = new_urls.select("url_canon", "url_hash64", "hash32").withColumn(
         "round_added", F.lit(round_id)
     )
-    new_bloom = bloom_add(new_urls, bloom, config)
+    new_bloom = probe_add(new_urls, bloom, config)
     if _timing:
         deltas = [
             f"{label}+{t - prev:.1f}s"
@@ -435,4 +480,5 @@ def run_round(
         new_urls=new_urls,
         links=link_graph,
         n_sched=n_sched,
+        leftover=leftover,
     )

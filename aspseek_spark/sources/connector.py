@@ -16,7 +16,11 @@ semantics the connector enforces (and the mock inherits):
   - MaxDocSize: bodies are truncated to config.max_doc_size at the
     transport boundary (the reference aborts the transfer at MaxDocSize,
     [R:src/http.cpp] semantics — truncation before parse is equivalent for
-    indexing; parse truncates again defensively).
+    indexing; parse truncates again defensively). The TRUNCATED body is the
+    canonical document everywhere: run_round applies the same JVM-side
+    substring on the simulated path before computing content_crc /
+    content_md5, so clone detection (J5) and digest columns are identical
+    regardless of which fetch path produced the row.
   - miss / connect error / timeout → html NULL (status 404 downstream,
     matching the simulated join's anti-join miss path).
   - per-host politeness is ALREADY enforced upstream by the scheduler
@@ -38,7 +42,8 @@ from ..config import CrawlConfig
 
 class MockTransport:
     """Dict-backed transport: url_canon → (html bytes, content_type,
-    last_modified) — None entry / missing url = miss (connect error / 404).
+    last_modified[, etag]) — None entry / missing url = miss (connect
+    error / 404).
 
     Pickled to executors (fine for fixtures); a live transport would
     instead open a connection pool lazily per partition.
@@ -48,14 +53,17 @@ class MockTransport:
         self._corpus = corpus
 
     def fetch(self, url: str, max_bytes: int):
-        """→ (body|None, content_type|None, last_modified|None)."""
+        """→ (body|None, content_type|None, last_modified|None, etag|None)."""
         v = self._corpus.get(url)
         if v is None:
-            return None, None, None
+            return None, None, None, None
         if isinstance(v, (bytes, bytearray)):
-            return bytes(v)[:max_bytes], None, None
-        body, ctype, lastmod = v
-        return bytes(body)[:max_bytes], ctype, lastmod
+            return bytes(v)[:max_bytes], None, None, None
+        if len(v) == 3:
+            body, ctype, lastmod = v
+            return bytes(body)[:max_bytes], ctype, lastmod, None
+        body, ctype, lastmod, etag = v
+        return bytes(body)[:max_bytes], ctype, lastmod, etag
 
 
 def connector_fetcher(transport, config: CrawlConfig):
@@ -69,7 +77,10 @@ def connector_fetcher(transport, config: CrawlConfig):
         out_schema = ", ".join(
             f"{f.name} {f.dataType.simpleString()}"
             for f in scheduled.schema.fields
-        ) + ", html binary, content_type string, last_modified long"
+        ) + (
+            ", html binary, content_type string, last_modified long"
+            ", etag string"
+        )
 
         def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             # a live transport would open its session/pool HERE, once per
@@ -82,6 +93,7 @@ def connector_fetcher(transport, config: CrawlConfig):
                     last_modified=pd.array(
                         [g[2] for g in got], dtype="Int64"
                     ),
+                    etag=[g[3] for g in got],
                 )
 
         return scheduled.mapInPandas(_op, schema=out_schema)
@@ -99,11 +111,15 @@ def corpus_from_pages(pages_parquet: str) -> dict:
     urls = t["url"].to_pylist()
     htmls = t["html"].to_pylist()
     if "content_type" in names and "last_modified" in names:
+        etags = (
+            t["etag"].to_pylist() if "etag" in names else [None] * len(urls)
+        )
         return {
-            u: (h, c, lm)
-            for u, h, c, lm in zip(
+            u: (h, c, lm, e)
+            for u, h, c, lm, e in zip(
                 urls, htmls,
                 t["content_type"].to_pylist(), t["last_modified"].to_pylist(),
+                etags,
             )
         }
     return dict(zip(urls, htmls))

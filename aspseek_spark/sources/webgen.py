@@ -62,6 +62,11 @@ class WebSpec:
     nonhtml_every: int = 37
     fresh_every: int = 11
     win1251_every: int = 53
+    # S7 ETag: pages i % noetag_every == 1 send NO ETag (Last-Modified
+    # fallback path); the rest send a stable content-derived ETag. A page
+    # that is both fresh_every (LM says modified) AND etagged exercises the
+    # RFC 9110 precedence: If-None-Match wins → 304 despite Last-Modified.
+    noetag_every: int = 3
 
 
 def _page_url(host: str, host_page_idx: int, rng: np.random.Generator) -> str:
@@ -145,6 +150,7 @@ def generate_web(spec: WebSpec) -> dict[str, pa.Table]:
     warc_ts: list[int] = []
     content_types: list[str] = []
     last_modified: list[int] = []
+    etags: list[str | None] = []
     body_cache: dict[int, str] = {}
     for i in range(n):
         host = page_hosts[i]
@@ -241,6 +247,11 @@ def generate_web(spec: WebSpec) -> dict[str, pa.Table]:
             if spec.fresh_every and i % spec.fresh_every == 7
             else EPOCH_UNIX - 86400 * 30 + i * 7  # stale: 304 on revisit
         )
+        etags.append(
+            None
+            if spec.noetag_every and i % spec.noetag_every == 1
+            else f'"{i:x}-{len(html):x}"'  # stable strong validator
+        )
 
     # robots bodies
     r_hosts: list[str] = []
@@ -273,6 +284,7 @@ def generate_web(spec: WebSpec) -> dict[str, pa.Table]:
             "lang": pa.array(langs, pa.string()),
             "content_type": pa.array(content_types, pa.string()),
             "last_modified": pa.array(last_modified, pa.int64()),
+            "etag": pa.array(etags, pa.string()),
         }
     )
     seeds = pa.table({"url": pa.array(seed_urls, pa.string())})

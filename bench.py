@@ -103,7 +103,7 @@ def ensure_bench_web(sf: float) -> str:
     )
     body_words = int(os.environ.get("SPARK_GRAFT_BODY_WORDS", "40"))
     suffix = f"_w{body_words}" if body_words != 40 else ""
-    out = os.path.join(REPO, ".cache", f"web_n{n_pages}{suffix}_s42_v5")
+    out = os.path.join(REPO, ".cache", f"web_n{n_pages}{suffix}_s42_v6")
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):
         return out
@@ -166,7 +166,10 @@ def bench_crawl(
 
 def _eventlog_counts(spark, window_ms: tuple[float, float]):
     """(n_stages, n_jobs) submitted inside the wall window, from the app's
-    own event log. Flush first so the tail is on disk."""
+    own event log. Spark buffers event-log writes and exposes no public
+    flush, so the .inprogress tail can be missing the last timed rounds'
+    events — counts are a LOWER BOUND (noted in the scaling evidence);
+    they are diagnostics only, never part of the throughput math."""
     try:
         app_id = spark.sparkContext.applicationId
         base = os.path.join(REPO, ".cache", "events", app_id)

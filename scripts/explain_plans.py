@@ -171,7 +171,7 @@ def main():
 
     bdir = tempfile.mkdtemp()
     spark.createDataFrame(
-        [(0, bytearray(b"\x00" * 8), 1, 0.125)], BLOOM_SCHEMA
+        [(0, bytearray(b"\x00" * 8), 1, 0.125, 2)], BLOOM_SCHEMA
     ).write.parquet(f"{bdir}/bloom")
     agg = (
         spark.read.schema(BLOOM_SCHEMA)
@@ -184,6 +184,39 @@ def main():
         "bloom metrics scan prunes blob bytes", p,
         must=["ReadSchema: struct<n_keys:bigint,fill_ratio:double>"],
         must_not=[],
+    )
+
+    # 10. J1 exact backstop at scale: against the BUCKETED seen table the
+    # anti-join must be bucket-local — the seen scan sits under NO Exchange
+    # and nothing is broadcast (the maybe slice grows with the batch and
+    # must never broadcast; only it shuffles, into the bucket layout).
+    from aspseek_spark.operators.seen import seen_filter_new
+    from aspseek_spark.sources.tables import StateStore, SEEN_SCHEMA
+
+    sroot = tempfile.mkdtemp()
+    sstore = StateStore(sroot, spark)
+    seed_seen = spark.createDataFrame(
+        [(f"http://h{i % 40:04d}.test/p{i}.html", i, i, 0) for i in range(500)],
+        SEEN_SCHEMA,
+    )
+    seed_seen.write.parquet(sstore._p("seen_delta", 0))
+    bucketed_seen = sstore.read_seen_bucketed(0, cfg)
+    cand = frontier.select("url_canon", "url_hash64", "hash32", "host", "depth")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        filtered = seen_filter_new(cand, bloom, bucketed_seen, cfg)
+        p = plan_of(filtered)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    plans["seen_backstop_bucketed"] = p
+    # "Bucketed: true" = the planner USED the bucket layout (a bucketed scan
+    # the planner reshuffles is reported "Bucketed: false (disabled by query
+    # planner)"), so together with zero BroadcastExchange this proves the
+    # seen side neither shuffles nor broadcasts — only the maybe slice moves.
+    all_ok &= check(
+        "bucketed seen backstop: bucket-local anti-join, no broadcast", p,
+        must=["Bucketed: true", "LeftAnti"],
+        must_not=["BroadcastExchange", "Bucketed: false"],
     )
 
     with open("/root/repo/.cache/plans.txt", "w") as f:

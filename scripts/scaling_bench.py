@@ -5,17 +5,24 @@ executors on a cluster; this sandbox has one (shared, noisy) machine, so —
 per the driver's instruction — we run the SAME crawl job on the SAME input
 at local[8] and local[32].
 
-Noise protocol: the host's effective CPU/disk throughput drifts by 2-3×
-over minutes (noisy neighbors). Single legs are meaningless — one observed
-sweep measured local[16] slower than local[4]. So legs are INTERLEAVED
-(8, 32, 8, 32, ...) for ``repeats`` pairs, and we report:
-  - per-leg raw numbers (full transparency)
-  - best-of throughput per core count: external interference only ever
-    slows a run, so max over repeats is the least-biased estimate of true
-    capability on this box
-  - efficiency = (best32 / best8) / 4
+Noise protocol (round-3 revision, per the round-2 verdict's directive):
+the host's effective CPU/disk throughput drifts by 2-8× over minutes
+(noisy neighbors). Single legs are meaningless — one observed sweep
+measured local[16] slower than local[4]. So:
 
-Run: python scripts/scaling_bench.py [sf_dir] [repeats]   (default sf0.1, 3)
+  - legs run as REVERSED-ORDER PAIRS: the 4N leg FIRST, then the N leg.
+    Within-pair bias (first leg pays any cold-cache/warm-up residue and
+    the earlier — statistically busier — window) lands on the 4N leg, so
+    it can only push each pair's efficiency DOWN: a reversed pair that
+    still clears 0.8 is evidence drift cannot have manufactured.
+  - ≥4 such pairs; the HEADLINE is the MEDIAN of per-pair efficiencies
+    eff_i = (thr_4N_i / thr_N_i) / 4.
+  - every raw leg is published, plus the best-of-per-core-count estimator
+    (external interference only ever slows a run) for transparency.
+  - each leg is pinned to ≥60 s of timed work at realistic page sizes
+    (BODY_WORDS≈6000 → ~37 KB HTML, Common-Crawl-like).
+
+Run: python scripts/scaling_bench.py [sf_dir] [pairs]   (default sf0.1, 4)
 Writes BENCH_SCALING.json at the repo root.
 """
 
@@ -28,7 +35,7 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-REPEATS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+REPEATS = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 # N and 4N. Default 2→8: every pandas-UDF stage runs C JVM task threads
 # PLUS C CPU-bound Python workers, so a local[C] leg occupies ~2C cores —
 # local[32] on this 32-vCPU box oversubscribes 2× and anti-scales (measured
@@ -79,34 +86,54 @@ def run_at(cpus: int) -> dict:
 
 
 def main():
-    runs: list[dict] = []
-    for i in range(REPEATS):
-        for cpus in (N_LOW, N_HIGH):
-            r = run_at(cpus)
-            r["repeat"] = i
-            runs.append(r)
-            print(json.dumps(r), flush=True)
+    import statistics
 
+    runs: list[dict] = []
+    pair_effs: list[float] = []
+    ratio = N_HIGH / N_LOW
+    for i in range(REPEATS):
+        # REVERSED-ORDER pair: 4N first — within-pair drift/warm-up residue
+        # disadvantages the 4N leg, biasing this pair's efficiency DOWN
+        hi = run_at(N_HIGH)
+        hi["repeat"] = i
+        runs.append(hi)
+        print(json.dumps(hi), flush=True)
+        lo = run_at(N_LOW)
+        lo["repeat"] = i
+        runs.append(lo)
+        print(json.dumps(lo), flush=True)
+        eff_i = (hi["value"] / lo["value"]) / ratio
+        pair_effs.append(round(eff_i, 3))
+        print(
+            json.dumps({"pair": i, "efficiency": round(eff_i, 3)}),
+            flush=True,
+        )
+
+    median_eff = statistics.median(pair_effs)
     best = {
         c: max(r["value"] for r in runs if r["cpus"] == c)
         for c in (N_LOW, N_HIGH)
     }
-    eff = (best[N_HIGH] / best[N_LOW]) / (N_HIGH / N_LOW)
+    best_eff = (best[N_HIGH] / best[N_LOW]) / ratio
     stage_counts = [r.get("stages_per_round") for r in runs if r.get("stages_per_round")]
     job_counts = [r.get("jobs_per_round") for r in runs if r.get("jobs_per_round")]
     summary = {
         "metric": f"scaling_efficiency_{N_LOW}_to_{N_HIGH}",
-        "value": round(eff, 3),
+        # HEADLINE: median of reversed-pair efficiencies — the estimator
+        # host drift cannot inflate (see module docstring)
+        "value": round(median_eff, 3),
+        "pair_efficiencies": pair_effs,
+        "estimator": "median of reversed-order pair efficiencies "
+                     "(4N leg first in every pair)",
+        "best_of_estimator": round(best_eff, 3),
         f"best_local{N_LOW}_urls_per_sec": best[N_LOW],
         f"best_local{N_HIGH}_urls_per_sec": best[N_HIGH],
-        "protocol": "interleaved repeats, best-of per core count "
-                    "(external interference only slows runs)",
-        "repeats": REPEATS,
+        "pairs": REPEATS,
         "sf": runs[0]["sf"],
         "body_words": BODY_WORDS,
-        "pass_0_8": eff >= 0.8,
-        # serial-barrier evidence (round-2 deliverable): stages and jobs per
-        # steady-state round, from the Spark event log
+        "pass_0_8": median_eff >= 0.8,
+        # serial-barrier evidence: stages and jobs per steady-state round,
+        # from the Spark event log (LOWER BOUND — tail may be unflushed)
         "stages_per_round": min(stage_counts) if stage_counts else None,
         "jobs_per_round": min(job_counts) if job_counts else None,
     }

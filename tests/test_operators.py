@@ -332,6 +332,61 @@ def test_multimodal_plumbing(spark):
         extract_features(media, strict=True).collect()
 
 
+def test_multimodal_strict_raises_through_real_plans(spark):
+    """The prod seam must fail LOUDLY (round-2 verdict next-step #9): every
+    codec-backed operator evaluated with strict=True raises the stub's
+    NotImplementedError through the executed Spark plan — including when
+    the operator sits under further transformations — never silently
+    returning fake features."""
+    from aspseek_spark.operators.multimodal import (
+        extract_features,
+        make_synthetic_media,
+        resize_images,
+        sample_frames,
+    )
+    from pyspark.sql import functions as F
+
+    media = make_synthetic_media(spark, n=12)
+    for build in (
+        lambda: extract_features(media, strict=True),
+        lambda: resize_images(media, 64, 64, strict=True),
+        lambda: sample_frames(media, every_ms=1000, strict=True),
+        # strict failure must survive downstream plan nodes too
+        lambda: extract_features(media, strict=True)
+        .groupBy("kind")
+        .agg(F.count("*").alias("n")),
+    ):
+        with pytest.raises(Exception) as ei:
+            build().collect()
+        assert "NotImplementedError" in str(ei.value) or "codec" in str(
+            ei.value
+        ), str(ei.value)[:300]
+
+
+def test_fake_decode_properties():
+    """Property-pin the deterministic stand-in so the q37 oracle contract
+    (values exactly reproducible as k/128 with k ∈ [-128, 127]) can't
+    drift: any payload → FEATURE_DIM floats, each an exact multiple of
+    1/128 in [-1, 1), and equal payloads give equal features."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aspseek_spark.operators.multimodal import FEATURE_DIM, _fake_decode
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(min_size=0, max_size=64))
+    def check(payload):
+        v1 = _fake_decode(payload)
+        v2 = _fake_decode(payload)
+        assert v1.shape == (FEATURE_DIM,)
+        assert (v1 == v2).all()
+        assert ((v1 >= -1.0) & (v1 < 1.0)).all()
+        scaled = v1 * 128.0
+        assert (scaled == scaled.astype("int32")).all()
+
+    check()
+
+
 def test_textstats_and_langid(spark):
     from aspseek_spark.operators.textstats import lang_id, quality_score, token_count
 
