@@ -397,6 +397,20 @@ class StateStore:
                 new_map.update(
                     self._write_frontier_partitioned(round_id, config, df)
                 )
+            elif name == "seen_delta":
+                df.write.mode("overwrite").parquet(self._p(name, round_id))
+                _done(name)
+                # chain the bucketed-backstop append onto the delta write,
+                # INSIDE the pool so its latency overlaps the other table
+                # writes. Running it pre-publish is safe: round logic is
+                # deterministic (a retried round re-derives the same delta),
+                # the table is consumed membership-only, and every read
+                # filters round_added <= last-committed — rows from a
+                # crashed-then-retried attempt are invisible until the
+                # round actually commits, and the marker stops them from
+                # being appended twice.
+                self._sync_seen_bucketed(round_id, config)
+                name = "seen_bucketed"
             else:
                 df.write.mode("overwrite").parquet(self._p(name, round_id))
             _done(name)
@@ -413,10 +427,9 @@ class StateStore:
         if prev_map is not None:
             kept_maps[round_id - 1] = prev_map
         self._publish(round_id, config, frontier_maps=kept_maps)
-        # post-commit: append this round's committed seen delta into the
-        # bucketed backstop table (crash between publish and this sync is
-        # healed by read_seen_bucketed's catch-up)
-        self._sync_seen_bucketed(round_id, config)
+        # (bucketed-seen sync already ran inside the write pool, chained on
+        # the seen_delta write; a crash anywhere is healed by
+        # read_seen_bucketed's marker-driven catch-up)
         # snapshot GC (Iceberg: expire_snapshots): unreferenced frontier
         # version dirs + all-but-last-2 bloom snapshots (and any legacy
         # whole-snapshot frontier dirs from pre-partitioning stores)
