@@ -196,28 +196,45 @@ class CrawlJob:
             links=res.links,
             on_table_written=mark if timing else None,
         )
-        # per-round lineage + metrics [B:14] — counts on persisted data
-        frontier_size = res.frontier.count()  # cached by its write job
-        mark("frontier.count")
-        n_ok = res.fetched.filter(F.col("status") == 200).count()
-        mark("n_ok.count")
+        # per-round lineage + metrics [B:14] — all small cached-scan /
+        # P-row-scalar jobs, submitted CONCURRENTLY: their per-job fixed
+        # latencies overlap instead of stacking onto the round floor
+        from concurrent.futures import ThreadPoolExecutor
+
         from ..operators.seen import bloom_metrics
 
-        # distributed: per-blob fill ratios were computed next to the blobs
-        # by bloom_add; this is a P-row scalar aggregate, no blob collect
-        if self.config.probe == "cuckoo":
-            row = (
-                self.store.read_probe(round_id, self.config)
-                .agg(F.sum("n_keys").alias("keys"))
-                .collect()[0]
-            )
-            fill, bloom_keys = 0.0, int(row["keys"] or 0)
-        else:
-            fill, bloom_keys = bloom_metrics(self.store.read_bloom(round_id))
-        mark("bloom.metrics")
-        if self.config.adaptive_salt and res.leftover is not None:
-            self._write_host_salts(round_id, res.leftover)
-            mark("host_salts")
+        def _frontier_size():
+            return res.frontier.count()  # cached by its write job
+
+        def _n_ok():
+            return res.fetched.filter(F.col("status") == 200).count()
+
+        def _probe_metrics():
+            # distributed: per-blob fill ratios were computed next to the
+            # blobs by bloom_add; P-row scalar aggregate, no blob collect
+            if self.config.probe == "cuckoo":
+                row = (
+                    self.store.read_probe(round_id, self.config)
+                    .agg(F.sum("n_keys").alias("keys"))
+                    .collect()[0]
+                )
+                return 0.0, int(row["keys"] or 0)
+            return bloom_metrics(self.store.read_bloom(round_id))
+
+        def _salts():
+            if self.config.adaptive_salt and res.leftover is not None:
+                self._write_host_salts(round_id, res.leftover)
+
+        with ThreadPoolExecutor(max_workers=4) as mpool:
+            f_size = mpool.submit(_frontier_size)
+            f_ok = mpool.submit(_n_ok)
+            f_probe = mpool.submit(_probe_metrics)
+            f_salts = mpool.submit(_salts)
+            frontier_size = f_size.result()
+            n_ok = f_ok.result()
+            fill, bloom_keys = f_probe.result()
+            f_salts.result()
+        mark("metrics.concurrent")
         if timing:
             deltas = [
                 f"{label}+{t - prev:.1f}s"

@@ -186,11 +186,18 @@ def run_round(
     #     computed twice; durability stays with the per-round snapshot
     #     commit (StateStore), not these ephemeral blocks.
     _mark("build.schedule")
+    leftover_fut = None
     if truncate_lineage:
         scheduled = scheduled.localCheckpoint()  # the one real schedule job
         _mark("job.schedule_ckpt")
-        leftover = leftover.localCheckpoint()  # cache-backed, cheap
-        _mark("job.leftover_ckpt")
+        # leftover is only consumed at frontier-write/host-salt time, so its
+        # (cache-backed) checkpoint job runs CONCURRENTLY with the fetch+
+        # parse job below instead of adding its latency to the round floor
+        from concurrent.futures import ThreadPoolExecutor
+
+        _lo_pool = ThreadPoolExecutor(1)
+        leftover_fut = _lo_pool.submit(leftover.localCheckpoint)
+        _lo_pool.shutdown(wait=False)
         n_sched = scheduled.count()  # RDD block count — trivial
         _mark("job.n_sched")
     else:
@@ -366,6 +373,8 @@ def run_round(
     if truncate_lineage:
         new_urls = new_urls.localCheckpoint()
         _mark("job.new_urls_ckpt")
+        leftover = leftover_fut.result()  # overlapped with parse above
+        _mark("job.leftover_join")
 
     # F7/S7/F5 status branches, same precedence as the oracle
     # (model_crawler): 404 miss → 304 not-modified → 302 meta-refresh →
