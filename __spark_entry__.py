@@ -736,6 +736,22 @@ def _q50_revisit_validator(spark, sf_dir):
     )
 
 
+def _q51_neardup_clusters(spark, sf_dir):
+    # the step after MinHash that corpus dedup actually needs: verified
+    # near-dup pairs (exact q21 pipeline, portable md5 mode) → connected
+    # components via min-label propagation (dedup.neardup_clusters,
+    # n_iter=4 fixed so the DuckDB oracle unrolls the identical
+    # computation) → one kept representative per cluster
+    from aspseek_spark.operators.dedup import minhash_lsh_pairs, neardup_clusters
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = minhash_lsh_pairs(
+        d, num_hashes=32, bands=16, shingle_n=2, jaccard_threshold=0.12,
+        hash_fn="md5",
+    )
+    return neardup_clusters(d, pairs, n_iter=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -788,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_revisit_due": _q48_revisit_due,
         "q49_lang_id": _q49_lang_id,
         "q50_revisit_validator": _q50_revisit_validator,
+        "q51_neardup_clusters": _q51_neardup_clusters,
     }
 
 
@@ -818,9 +835,10 @@ _SHINGLE_CTE = """
         )"""
 
 
-def _minhash_oracle() -> str:
-    """Full MinHash-LSH mirror of _q21 (md5 60-bit mode): signatures →
-    16 bands × 2 rows → bucket join (a<b, distinct) → est + exact Jaccard."""
+def _minhash_cte_body() -> str:
+    """The shared WITH-body producing ``ver(a, b, est_jaccard, jaccard)``
+    MinHash-LSH verified pairs — used by the q21 oracle and, composed with
+    the label-propagation unroll, by the q51 clusters oracle."""
     num_hashes, bands, threshold = 32, 16, 0.12
     rpb = num_hashes // bands
     sig_items = ",\n                ".join(
@@ -840,8 +858,7 @@ def _minhash_oracle() -> str:
         )
         for b in range(bands)
     )
-    return f"""
-        WITH {_SHINGLE_CTE},
+    return f"""{_SHINGLE_CTE},
         sigs AS (
             SELECT doc_id AS k,
                    [{sig_items}] AS sig
@@ -873,10 +890,54 @@ def _minhash_oracle() -> str:
                        / len(list_distinct(ga.s || gb.s)) AS jaccard
             FROM est e JOIN sh ga ON ga.doc_id = e.a
                        JOIN sh gb ON gb.doc_id = e.b
+        ),
+        vpairs AS (
+            SELECT a, b, est_jaccard, jaccard FROM ver
+            WHERE jaccard >= {threshold}
         )
+    """
+
+
+def _minhash_oracle() -> str:
+    """Full MinHash-LSH mirror of _q21 (md5 60-bit mode): signatures →
+    16 bands × 2 rows → bucket join (a<b, distinct) → est + exact Jaccard."""
+    return f"""
+        WITH {_minhash_cte_body()}
         SELECT a, b, round(est_jaccard, 4) AS est_jaccard,
                round(jaccard, 4) AS jaccard
-        FROM ver WHERE jaccard >= {threshold}
+        FROM vpairs
+    """
+
+
+def _neardup_clusters_oracle(n_iter: int = 4) -> str:
+    """Mirror of _q51: the q21 verified pairs as an undirected edge list,
+    then ``n_iter`` UNROLLED min-label-propagation iterations (the exact
+    computation dedup.neardup_clusters(n_iter=4) runs) → one cluster id
+    (= component min doc id) per doc, kept flag on the representative."""
+    layers = []
+    prev = "l0"
+    for k in range(1, n_iter + 1):
+        layers.append(f"""
+        l{k} AS (
+            SELECT l.doc,
+                   least(l.label, coalesce(min(ln.label), l.label)) AS label
+            FROM {prev} l
+            LEFT JOIN edges e ON e.src = l.doc
+            LEFT JOIN {prev} ln ON ln.doc = e.dst
+            GROUP BY l.doc, l.label
+        )""")
+        prev = f"l{k}"
+    return f"""
+        WITH {_minhash_cte_body()},
+        edges AS (
+            SELECT a AS src, b AS dst FROM vpairs
+            UNION SELECT b, a FROM vpairs
+        ),
+        l0 AS (SELECT doc_id AS doc, doc_id AS label FROM toks),
+        {",".join(layers)}
+        SELECT doc AS doc_id, label AS cluster_id,
+               CASE WHEN doc = label THEN 1 ELSE 0 END AS kept
+        FROM {prev}
     """
 
 
@@ -1537,6 +1598,7 @@ def oracle_sql() -> dict[str, str]:
         "q45_lsh_ann": _lsh_ann_oracle(),
         "q46_simhash_near_pairs": _simhash_near_oracle(),
         "q49_lang_id": _lang_id_oracle(),
+        "q51_neardup_clusters": _neardup_clusters_oracle(4),
         "q50_revisit_validator": """
             -- S7 validator selection (RFC 9110 §13.1.2): If-None-Match
             -- decides alone when BOTH sides have an etag, else fall back

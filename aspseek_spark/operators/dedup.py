@@ -347,3 +347,73 @@ def clone_detect(fetched: DataFrame) -> DataFrame:
         )
         .drop("rn")
     )
+
+
+def neardup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    doc_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+    n_iter: int | None = None,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS from a pair list (the step after MinHash/
+    SimHash that corpus dedup actually needs): connected components of the
+    pair graph via iterative min-label propagation → (doc, cluster_id,
+    kept), where cluster_id = the component's minimum doc id, singletons
+    cluster with themselves, and kept=1 marks the one representative per
+    cluster (the minimum id) a keep-one dedup retains.
+
+    Spark shape: one join + one map-side-combinable min-agg per iteration,
+    both shuffled on the doc-id key; ``localCheckpoint`` per iteration
+    keeps the plan O(1) deep (same discipline as operators/rank.pagerank).
+    Iterations needed = component diameter — shallow for near-dup clusters
+    (pathological long-chain graphs would want the large-star/small-star
+    variant; out of scope here). Convergence detection is a single scalar
+    aggregate per iteration: sum(label) strictly decreases until fixpoint.
+
+    ``n_iter`` fixed (no early exit) makes the run exactly reproducible by
+    an unrolled-SQL oracle (driver q51); ``n_iter=None`` iterates to the
+    fixpoint (bounded by max_iter).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = docs.select(
+        F.col(doc_col).alias("doc"), F.col(doc_col).alias("label")
+    ).localCheckpoint()
+    prev_sum = None
+    rounds = n_iter if n_iter is not None else max_iter
+    for _ in range(rounds):
+        neigh = (
+            edges.join(labels, edges.dst == labels.doc)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(neigh, labels.doc == neigh.src, "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        if n_iter is None:
+            s = labels.agg(F.sum("label")).collect()[0][0]
+            if s == prev_sum:
+                break
+            prev_sum = s
+    edges.unpersist()
+    return labels.select(
+        F.col("doc").alias(doc_col),
+        F.col("label").alias("cluster_id"),
+        (F.col("doc") == F.col("label")).cast("int").alias("kept"),
+    )

@@ -363,6 +363,50 @@ def test_multimodal_strict_raises_through_real_plans(spark):
         ), str(ei.value)[:300]
 
 
+def test_neardup_clusters_match_union_find(spark):
+    """Connected components via min-label propagation must match a plain
+    union-find ground truth on a random pair graph (chains force multiple
+    propagation iterations), with exactly one kept representative (the
+    minimum id) per component and singletons clustering with themselves."""
+    import random
+
+    from aspseek_spark.operators.dedup import neardup_clusters
+
+    rng = random.Random(7)
+    n = 300
+    pairs = sorted(
+        {
+            tuple(sorted((rng.randrange(n), rng.randrange(n))))
+            for _ in range(120)
+        }
+    )
+    pairs = [(a, b) for a, b in pairs if a != b]
+    # a long chain exercises diameter > 1 propagation
+    pairs += [(i, i + 1) for i in range(290, 299)]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {d: find(d) for d in range(n)}
+
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pdf = spark.createDataFrame(pairs, "a long, b long")
+    got_rows = neardup_clusters(docs, pdf).collect()
+    got = {r["doc_id"]: r["cluster_id"] for r in got_rows}
+    assert got == want
+    kept = {r["doc_id"] for r in got_rows if r["kept"] == 1}
+    assert kept == set(want.values())
+
+
 def test_fake_decode_properties():
     """Property-pin the deterministic stand-in so the q37 oracle contract
     (values exactly reproducible as k/128 with k ∈ [-128, 127]) can't
