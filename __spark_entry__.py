@@ -752,6 +752,32 @@ def _q51_neardup_clusters(spark, sf_dir):
     return neardup_clusters(d, pairs, n_iter=4)
 
 
+def _q52_ann_recall(spark, sf_dir):
+    # recall@10 of both approximate ANN paths (q44 IVF, q45 LSH — same
+    # fixed centroids/hyperplanes) against the exact brute-force top-10
+    # (q23): the quality gauge an approximate index ships with
+    from aspseek_spark.operators.similarity import (
+        ann_recall,
+        cosine_topk_bruteforce,
+        ivf_ann,
+        lsh_bucket_ann,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    exact = cosine_topk_bruteforce(e, ANN_QUERY_VEC, k=10)
+    centroids = [
+        [(1.0 if i % 8 == c else 0.0) for i in range(64)] for c in range(4)
+    ]
+    hyperplanes = [
+        [((i * 7 + j * 13) % 11 - 5) / 5.0 for i in range(64)] for j in range(4)
+    ]
+    ivf = ivf_ann(e, ANN_QUERY_VEC, centroids, n_probe=2, k=10)
+    lsh = lsh_bucket_ann(e, ANN_QUERY_VEC, hyperplanes, k=10)
+    return ann_recall(ivf, exact, 10, method="ivf").unionByName(
+        ann_recall(lsh, exact, 10, method="lsh")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -805,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_lang_id": _q49_lang_id,
         "q50_revisit_validator": _q50_revisit_validator,
         "q51_neardup_clusters": _q51_neardup_clusters,
+        "q52_ann_recall": _q52_ann_recall,
     }
 
 
@@ -1172,6 +1199,33 @@ def _lsh_ann_oracle() -> str:
                  / (sqrt(list_dot_product(v, v)) * {qn}) DESC,
                  vec_id ASC
         LIMIT 10
+    """
+
+
+def _ann_recall_oracle() -> str:
+    """Mirror of _q52: recall@10 of the q44/q45 approximate results (their
+    oracles embedded verbatim as CTEs) against the exact cosine top-10."""
+    exact = f"""SELECT vec_id FROM (
+            SELECT vec_id,
+                   list_dot_product(v, {_VEC_SQL})
+                       / (sqrt(list_dot_product(v, v))
+                          * sqrt(list_dot_product({_VEC_SQL}, {_VEC_SQL})))
+                       AS cos
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            ORDER BY cos DESC, vec_id ASC LIMIT 10)"""
+    return f"""
+        WITH exact AS ({exact}),
+        ivf AS ({_ivf_oracle()}),
+        lsh AS ({_lsh_ann_oracle()})
+        SELECT 'ivf' AS method,
+               round((SELECT count(*) FROM ivf
+                      WHERE vec_id IN (SELECT vec_id FROM exact)) / 10.0, 4)
+                   AS recall_at_k
+        UNION ALL
+        SELECT 'lsh' AS method,
+               round((SELECT count(*) FROM lsh
+                      WHERE vec_id IN (SELECT vec_id FROM exact)) / 10.0, 4)
+                   AS recall_at_k
     """
 
 
@@ -1599,6 +1653,7 @@ def oracle_sql() -> dict[str, str]:
         "q46_simhash_near_pairs": _simhash_near_oracle(),
         "q49_lang_id": _lang_id_oracle(),
         "q51_neardup_clusters": _neardup_clusters_oracle(4),
+        "q52_ann_recall": _ann_recall_oracle(),
         "q50_revisit_validator": """
             -- S7 validator selection (RFC 9110 §13.1.2): If-None-Match
             -- decides alone when BOTH sides have an etag, else fall back

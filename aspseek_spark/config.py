@@ -55,6 +55,11 @@ class CrawlConfig:
     # outside this set are still fetched/recorded but contribute no text
     # and no outlinks. None in the corpus column ⇒ treated as text/html.
     allowed_content_types: tuple[str, ...] = ("text/html",)
+    # SRC3 robots cache TTL: a host's robots.txt is re-fetched once its
+    # cache entry is older than this (the reference re-reads robots
+    # periodically); None = cache forever. The allow filter always uses
+    # the NEWEST generation per host.
+    robots_period_s: int | None = None
     # --- engine-layout knobs (no reference analog) ---
     # J1 probe layer: 'bloom' (default; deletes rebuild touched blobs) or
     # 'cuckoo' (north_star deletion fallback: true O(1) deletes, same

@@ -54,19 +54,29 @@ def fetch_missing_robots(
     user_agent: str,
     round_ts: int,
     hosts_deduped: bool = False,
+    period_s: int | None = None,
 ) -> DataFrame:
-    """Hosts not yet cached → fetch+parse → rows to append to the cache.
+    """Hosts without a FRESH cache entry → fetch+parse → rows to append.
 
     ``hosts``: one column ``host``. Missing from robots_src = unfetchable
     robots (status 404 → allow-all empty rules). Pass hosts_deduped=True
     when the caller already distinct'ed (skips a redundant shuffle).
+    ``period_s`` (SRC3 TTL): entries older than this no longer count as
+    cached, so their hosts re-fetch — the re-fetched generation is simply
+    APPENDED to the cache; robots_allow_filter takes the newest per host.
+    None = cache forever (prior behavior).
     """
     # the due-host set is bounded per round; the robots cache is the big
     # side at 10^10 scale. Probe the small set INTO the cache (broadcast
     # semi — cache only scanned, never shuffled), then broadcast-anti the
     # confirmed hits out: no sort-merge exchange anywhere.
     due_hosts = hosts if hosts_deduped else hosts.select("host").distinct()
-    cached = robots.select("host").join(
+    fresh = robots
+    if period_s is not None:
+        fresh = robots.filter(
+            F.col("fetched_unix") + F.lit(period_s) > F.lit(round_ts)
+        )
+    cached = fresh.select("host").join(
         F.broadcast(due_hosts), on="host", how="left_semi"
     )
     missing = due_hosts.join(F.broadcast(cached), on="host", how="left_anti")
@@ -109,9 +119,16 @@ def robots_allow_filter(
     whole (round-1 verdict fix #3). broadcast_cache=False falls back to a
     plain shuffle join (AQE skew handling covers hot hosts).
     """
-    cache = robots.select("host", "rules")
+    cache = robots.select("host", "rules", "fetched_unix")
     if due_hosts is not None:
         cache = cache.join(F.broadcast(due_hosts), on="host", how="left_semi")
+    # TTL re-fetches APPEND a new generation per host; the newest rules win.
+    # The dedup runs on the due-host slice (bounded per round), never on
+    # the full cache. fetched_unix is strictly increasing per host (one
+    # fetch per host per round), so max_by is deterministic.
+    cache = cache.groupBy("host").agg(
+        F.max_by("rules", "fetched_unix").alias("rules")
+    )
     if broadcast_cache:
         cache = F.broadcast(cache)
     joined = candidates.join(cache, on="host", how="left")

@@ -216,3 +216,24 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= cosine_threshold)
     )
     return pairs
+
+
+def ann_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    method: str = "ann",
+) -> DataFrame:
+    """recall@k of an approximate ANN result against the exact top-k — the
+    quality gauge every approximate index deployment runs alongside the
+    brute-force ground truth on a sample. One semi-join + one scalar
+    aggregate; nothing collects to the driver, so the same expression
+    evaluates recall over millions of sampled queries at scale (group the
+    join by a query id column)."""
+    inter = approx.select(id_col).join(
+        exact.select(id_col), id_col, "left_semi"
+    )
+    return inter.agg(
+        F.round(F.count("*") / F.lit(float(k)), 4).alias("recall_at_k")
+    ).select(F.lit(method).alias("method"), "recall_at_k")

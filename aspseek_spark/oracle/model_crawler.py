@@ -88,7 +88,9 @@ def crawl(
 
     frontier: dict[str, FrontierRow] = {}
     seen: set[str] = set()
-    robots_cache: dict[str, list[tuple[bool, str]] | None] = {}
+    # host → (rules, fetched_unix): SRC3 cache with optional TTL
+    # (config.robots_period_s) — newest generation wins, engine parity
+    robots_cache: dict[str, tuple[list[tuple[bool, str]], int]] = {}
     fetches: list[OracleFetch] = []
 
     # round 0: seed insertion (SRC5)
@@ -106,20 +108,27 @@ def crawl(
         round_ts = config.round_ts_unix(round_id)
         due = [r for r in frontier.values() if r.next_fetch_unix <= round_ts]
 
-        # robots ensure (SRC3): fetch robots for hosts missing from cache
+        # robots ensure (SRC3): fetch robots for hosts with no FRESH cache
+        # entry (TTL per config.robots_period_s; None = cache forever)
+        ttl = getattr(config, "robots_period_s", None)
         for r in due:
-            if r.host not in robots_cache:
+            entry = robots_cache.get(r.host)
+            stale = entry is not None and ttl is not None and (
+                entry[1] + ttl <= round_ts
+            )
+            if entry is None or stale:
                 body = robots_src.get(r.host)
                 robots_cache[r.host] = (
                     parse_robots(body, config.user_agent)
                     if body is not None
-                    else []
+                    else [],
+                    round_ts,
                 )
 
         # robots filter (F4): denied rows leave the frontier permanently
         allowed: list[FrontierRow] = []
         for r in due:
-            rules = robots_cache[r.host]
+            rules = robots_cache[r.host][0]
             if robots_allowed(rules, path_of(r.url_canon)):
                 allowed.append(r)
             else:

@@ -157,7 +157,7 @@ def run_round(
     due_hosts = due.select("host").distinct().persist()
     robots_delta = fetch_missing_robots(
         due_hosts, robots, robots_src, config.user_agent, round_ts,
-        hosts_deduped=True,
+        hosts_deduped=True, period_s=config.robots_period_s,
     ).persist()  # consumed by this round's filter AND the snapshot write
     robots_all = robots.unionByName(robots_delta)
     # the cache is semi-joined down to due hosts BEFORE broadcast — never

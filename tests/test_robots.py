@@ -60,3 +60,80 @@ def test_longest_ua_substring_wins():
 def test_path_of():
     assert path_of("http://h.test/a/b?q=1") == "/a/b?q=1"
     assert path_of("http://h.test") == "/"
+
+
+def test_allow_filter_newest_generation_wins(spark):
+    """SRC3 TTL: re-fetches append new cache generations; the allow filter
+    must use the NEWEST rules per host (both orderings checked)."""
+    from aspseek_spark.operators.robots_join import (
+        ROBOTS_SCHEMA,
+        robots_allow_filter,
+    )
+
+    deny_all = [(False, "/")]
+    allow_all = []
+    cand = spark.createDataFrame(
+        [("http://h.test/a.html", "h.test")], "url_canon string, host string"
+    )
+    # old generation denies, new allows → candidate passes
+    cache1 = spark.createDataFrame(
+        [("h.test", deny_all, 200, 100), ("h.test", allow_all, 200, 200)],
+        ROBOTS_SCHEMA,
+    )
+    ok1 = robots_allow_filter(cand, cache1).collect()[0]["robots_ok"]
+    assert ok1 is True
+    # old generation allows, new denies → candidate blocked
+    cache2 = spark.createDataFrame(
+        [("h.test", allow_all, 200, 100), ("h.test", deny_all, 200, 200)],
+        ROBOTS_SCHEMA,
+    )
+    ok2 = robots_allow_filter(cand, cache2).collect()[0]["robots_ok"]
+    assert ok2 is False
+
+
+def test_robots_ttl_refetch_crawl_parity(
+    spark, tiny_web, test_config, tmp_path_factory
+):
+    """With robots_period_s = one round interval, every revisited host
+    re-fetches robots each round; fetch order must still match the oracle
+    (static robots bodies → same rules), and the committed robots cache
+    must show multiple generations for re-fetched hosts."""
+    import dataclasses
+
+    from aspseek_spark.oracle.model_crawler import crawl, load_fixture_dicts
+    from aspseek_spark.plans.crawl_loop import CrawlJob
+    from aspseek_spark.sources.tables import StateStore
+
+    cfg = dataclasses.replace(test_config, robots_period_s=3600)
+    n_rounds = 3
+    store = StateStore(str(tmp_path_factory.mktemp("state_rttl")), spark)
+    job = CrawlJob(
+        spark, store, cfg,
+        spark.read.parquet(f"{tiny_web}/pages.parquet"),
+        spark.read.parquet(f"{tiny_web}/robots_src.parquet"),
+    )
+    job.run(spark.read.parquet(f"{tiny_web}/seeds.parquet"), n_rounds)
+    pages, robots_src, seeds = load_fixture_dicts(tiny_web)
+    ora = crawl(pages, robots_src, seeds, cfg, n_rounds)
+
+    eng = sorted(
+        (r["round"], r["sched_unix"], r["host"], r["url_canon"], r["status"])
+        for r in store.read_fetched(n_rounds).collect()
+    )
+    exp = sorted(
+        (f.round, f.sched_unix, f.host, f.url_canon, f.status)
+        for f in ora.fetches
+    )
+    assert eng == exp
+    # hosts due in multiple rounds re-fetched robots: >1 cache generation
+    from pyspark.sql import functions as F
+
+    gens = (
+        store.read_robots(n_rounds)
+        .groupBy("host")
+        .agg(F.count("*").alias("n"), F.countDistinct("fetched_unix").alias("d"))
+        .filter(F.col("n") > 1)
+        .collect()
+    )
+    assert gens, "TTL must force at least one robots re-fetch"
+    assert all(r["n"] == r["d"] for r in gens)  # one generation per round
