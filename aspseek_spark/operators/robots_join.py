@@ -108,6 +108,7 @@ def robots_allow_filter(
     robots: DataFrame,
     broadcast_cache: bool = True,
     due_hosts: DataFrame | None = None,
+    dedup_generations: bool = True,
 ) -> DataFrame:
     """candidates(+url_canon, host) → + robots_ok boolean.
 
@@ -122,13 +123,18 @@ def robots_allow_filter(
     cache = robots.select("host", "rules", "fetched_unix")
     if due_hosts is not None:
         cache = cache.join(F.broadcast(due_hosts), on="host", how="left_semi")
-    # TTL re-fetches APPEND a new generation per host; the newest rules win.
-    # The dedup runs on the due-host slice (bounded per round), never on
-    # the full cache. fetched_unix is strictly increasing per host (one
-    # fetch per host per round), so max_by is deterministic.
-    cache = cache.groupBy("host").agg(
-        F.max_by("rules", "fetched_unix").alias("rules")
-    )
+    if dedup_generations:
+        # TTL re-fetches APPEND a new generation per host; the newest rules
+        # win. The dedup runs on the due-host slice (bounded per round),
+        # never on the full cache. fetched_unix is strictly increasing per
+        # host (one fetch per host per round), so max_by is deterministic.
+        # Callers with a TTL-free cache (at most one row per host by
+        # construction) skip this and save the aggregation exchange.
+        cache = cache.groupBy("host").agg(
+            F.max_by("rules", "fetched_unix").alias("rules")
+        )
+    else:
+        cache = cache.drop("fetched_unix")
     if broadcast_cache:
         cache = F.broadcast(cache)
     joined = candidates.join(cache, on="host", how="left")

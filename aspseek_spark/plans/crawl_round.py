@@ -162,7 +162,12 @@ def run_round(
     robots_all = robots.unionByName(robots_delta)
     # the cache is semi-joined down to due hosts BEFORE broadcast — never
     # broadcast unbounded (the cache grows with every host ever crawled)
-    flagged = robots_allow_filter(due, robots_all, due_hosts=due_hosts)
+    flagged = robots_allow_filter(
+        due, robots_all, due_hosts=due_hosts,
+        # without a TTL the cache holds at most one generation per host by
+        # construction — skip the newest-wins aggregation exchange
+        dedup_generations=config.robots_period_s is not None,
+    )
     allowed = flagged.filter(F.col("robots_ok")).drop("robots_ok")
     # robots-denied rows leave the frontier permanently (never fetched);
     # they remain in `seen`, so they are never re-discovered either.

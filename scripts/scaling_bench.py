@@ -74,7 +74,9 @@ def run_at(cpus: int) -> dict:
         env=env,
         capture_output=True,
         text=True,
-        timeout=3600,
+        # the FIRST leg may also pay the one-time web-cache generation
+        # (tens of minutes at large body_words) — budget for it
+        timeout=10800,
     )
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
     if not lines:
