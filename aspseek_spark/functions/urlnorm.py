@@ -10,7 +10,9 @@ RFC 3986 normalization per SURVEY.md §2.8 S2):
   - resolve dot segments (/a/../b → /b)
   - empty path → "/"
   - uppercase %-escape hex digits; decode escapes of unreserved chars
-  - keep the query string verbatim (minus fragment)
+  - percent-encode characters illegal raw in path/query (space, quotes,
+    non-ASCII, ...) so the canonical form is a fixpoint
+  - keep the query string otherwise verbatim (minus fragment)
 
 ``canon1`` is the single authoritative implementation: the Spark engine
 wraps it in an Arrow-batched pandas UDF (operators/canonicalize.py) and the
@@ -28,6 +30,34 @@ _UNRESERVED = set(
     "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
 )
 _HEX = "0123456789ABCDEF"
+# RFC 3986 pchar = unreserved / pct-encoded / sub-delims / ":" / "@";
+# path additionally allows "/", query additionally allows "/" and "?".
+# "%" stays literal here because _norm_pct has already normalized escapes —
+# any remaining "%" is a raw percent that must survive re-canonicalization
+# byte-identically (encoding it would double-escape on the second pass).
+_PATH_SAFE = _UNRESERVED | set("!$&'()*+,;=:@/%")
+_QUERY_SAFE = _PATH_SAFE | set("?")
+
+
+def _pct_encode_illegal(s: str, safe: set[str]) -> str:
+    """Percent-encode (UTF-8) every character outside ``safe``.
+
+    This is what makes ``canon1`` a fixpoint: characters that are illegal
+    raw in a URI (space, quotes, non-ASCII, ...) are emitted as %XX, and
+    %XX escapes of non-unreserved bytes are preserved verbatim by
+    ``_norm_pct`` on the next pass. Without it a space that is interior on
+    the first pass (e.g. before a later-stripped fragment) becomes leading/
+    trailing on the second pass and gets stripped — the round-3 idempotence
+    defect (VERDICT r3 "What's wrong" #1)."""
+    if all(c in safe for c in s):
+        return s
+    out: list[str] = []
+    for c in s:
+        if c in safe:
+            out.append(c)
+        else:
+            out.extend("%{:02X}".format(b) for b in c.encode("utf-8"))
+    return "".join(out)
 
 
 def _norm_pct(s: str) -> str:
@@ -107,8 +137,14 @@ def canon1(url: str) -> str | None:
         return None
     if p is not None and str(p) != _DEFAULT_PORTS.get(scheme):
         port = f":{p}"
-    path = _remove_dot_segments(_norm_pct(parts.path or "/"))
-    query = f"?{_norm_pct(parts.query)}" if parts.query else ""
+    path = _pct_encode_illegal(
+        _remove_dot_segments(_norm_pct(parts.path or "/")), _PATH_SAFE
+    )
+    query = (
+        f"?{_pct_encode_illegal(_norm_pct(parts.query), _QUERY_SAFE)}"
+        if parts.query
+        else ""
+    )
     return f"{scheme}://{host}{port}{path}{query}"
 
 

@@ -369,9 +369,10 @@ def neardup_clusters(
     both shuffled on the doc-id key; ``localCheckpoint`` per iteration
     keeps the plan O(1) deep (same discipline as operators/rank.pagerank).
     Iterations needed = component diameter — shallow for near-dup clusters
-    (pathological long-chain graphs would want the large-star/small-star
-    variant; out of scope here). Convergence detection is a single scalar
-    aggregate per iteration: sum(label) strictly decreases until fixpoint.
+    (for pathological long-chain graphs use :func:`neardup_clusters_star`,
+    O(log diameter) rounds). Convergence detection is a changed-row count
+    per iteration (works for ANY doc-id type; the earlier sum(label) probe
+    was silently NULL==NULL-terminating on string ids — round-3 ADVICE).
 
     ``n_iter`` fixed (no early exit) makes the run exactly reproducible by
     an unrolled-SQL oracle (driver q51); ``n_iter=None`` iterates to the
@@ -388,7 +389,6 @@ def neardup_clusters(
     labels = docs.select(
         F.col(doc_col).alias("doc"), F.col(doc_col).alias("label")
     ).localCheckpoint()
-    prev_sum = None
     rounds = n_iter if n_iter is not None else max_iter
     for _ in range(rounds):
         neigh = (
@@ -396,22 +396,123 @@ def neardup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        labels = (
+        upd = (
             labels.join(neigh, labels.doc == neigh.src, "left")
             .select(
                 "doc",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint()
         )
+        labels = upd.select("doc", "label")
         if n_iter is None:
-            s = labels.agg(F.sum("label")).collect()[0][0]
-            if s == prev_sum:
+            # scalar count off the already-materialized checkpoint — one
+            # cheap job, no extra shuffle, type-agnostic
+            changed = upd.filter(
+                F.col("label") != F.col("old_label")
+            ).count()
+            if changed == 0:
                 break
-            prev_sum = s
     edges.unpersist()
+    return labels.select(
+        F.col("doc").alias(doc_col),
+        F.col("label").alias("cluster_id"),
+        (F.col("doc") == F.col("label")).cast("int").alias("kept"),
+    )
+
+
+def neardup_clusters_star(
+    docs: DataFrame,
+    pairs: DataFrame,
+    doc_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 30,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star — the
+    O(log diameter) scale path for LONG-CHAIN pair graphs where min-label
+    propagation (:func:`neardup_clusters`) needs diameter-many rounds
+    (round-3 verdict next-round #6). Same output contract: (doc,
+    cluster_id=component min, kept=1 on the representative).
+
+    Public algorithm: Kiveris et al., "Connected Components in MapReduce
+    and Beyond" (SoCC'14). Per round, large-star hangs every
+    greater-than-center neighbor off the neighborhood minimum (halving tall
+    chains), small-star re-points each node at the minimum of its
+    smaller-id neighborhood; the edge set is a fixpoint exactly when it is
+    a star forest rooted at component minima. Spark shape per round: two
+    groupBy-min aggregates + two joins + distinct, all shuffled on node id,
+    ``localCheckpoint`` keeping the plan O(1) deep. Works for any orderable
+    id type (least/greatest, no numeric assumption).
+
+    ``stats`` (optional dict) receives {"iterations": k} so callers/tests
+    can assert the O(log n) convergence bound.
+    """
+    E = (
+        pairs.select(
+            F.greatest(F.col(a_col), F.col(b_col)).alias("u"),
+            F.least(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    iters = 0
+    for _ in range(max_iter):
+        iters += 1
+        # large-star: for each u, m = min(N(u) ∪ {u}); emit (v, m) ∀ v>u
+        sym = E.select("u", "v").unionByName(
+            E.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: key every edge on its max endpoint; for each u,
+        # m = min(N<(u) ∪ {u}); re-point u and all smaller neighbors at m
+        dir_ = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins2 = dir_.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        new_e = (
+            dir_.join(mins2, "u")
+            .select(F.col("v").alias("x"), "m")
+            .unionByName(mins2.select(F.col("u").alias("x"), "m"))
+            .filter(F.col("x") != F.col("m"))
+            .select(F.col("x").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # fixpoint test on the (distinct) edge set: same count and nothing
+        # new — two cheap jobs over materialized checkpoints
+        changed = (
+            new_e.count() != E.count()
+            or new_e.join(E, ["u", "v"], "left_anti").limit(1).count() > 0
+        )
+        E = new_e
+        if not changed:
+            break
+    if stats is not None:
+        stats["iterations"] = iters
+    # converged E is a star forest: (node, root) with root = component min
+    d = docs.select(F.col(doc_col).alias("doc"))
+    labels = d.join(
+        E.select(F.col("u").alias("doc"), F.col("v").alias("root")),
+        "doc",
+        "left",
+    ).select("doc", F.coalesce("root", "doc").alias("label"))
     return labels.select(
         F.col("doc").alias(doc_col),
         F.col("label").alias("cluster_id"),

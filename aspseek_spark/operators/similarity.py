@@ -224,16 +224,29 @@ def ann_recall(
     k: int,
     id_col: str = "vec_id",
     method: str = "ann",
+    query_col: str | None = None,
 ) -> DataFrame:
     """recall@k of an approximate ANN result against the exact top-k — the
     quality gauge every approximate index deployment runs alongside the
-    brute-force ground truth on a sample. One semi-join + one scalar
-    aggregate; nothing collects to the driver, so the same expression
-    evaluates recall over millions of sampled queries at scale (group the
-    join by a query id column)."""
-    inter = approx.select(id_col).join(
-        exact.select(id_col), id_col, "left_semi"
+    brute-force ground truth on a sample. Distinct + one semi-join + one
+    aggregate; nothing collects to the driver.
+
+    Round-3 ADVICE fixes: the approx ids are DISTINCT'd first (duplicate
+    hits can no longer inflate recall past 1.0), and ``query_col`` — when
+    given — keys both the distinct and the semi-join on (query, id) and
+    groups the aggregate per query, so one call evaluates recall over
+    millions of sampled queries at scale (each query's candidate set is
+    compared only against ITS exact top-k)."""
+    keys = [query_col, id_col] if query_col else [id_col]
+    inter = (
+        approx.select(*keys)
+        .distinct()
+        .join(exact.select(*keys).distinct(), keys, "left_semi")
     )
+    if query_col:
+        return inter.groupBy(query_col).agg(
+            F.round(F.count("*") / F.lit(float(k)), 4).alias("recall_at_k")
+        ).select(F.lit(method).alias("method"), query_col, "recall_at_k")
     return inter.agg(
         F.round(F.count("*") / F.lit(float(k)), 4).alias("recall_at_k")
     ).select(F.lit(method).alias("method"), "recall_at_k")

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import CrawlConfig
+from ..functions.textextract import PY_WS_CLASS
 from ..operators.canonicalize import with_canonical
 from ..operators.parse import parse_fetched, with_content_digests
 from ..operators.politeness import schedule_round_split
@@ -307,15 +308,16 @@ def run_round(
         ),
     ).withColumn(
         # F5 keys on the MEDIA TYPE (before ';charset=...'), lowercased.
-        # ALL leading/trailing whitespace is stripped (\s, not just spaces)
-        # so this matches the oracle's media_type_of (Python str.strip())
-        # byte-for-byte on headers like 'text/html\t' from a live connector.
+        # Leading/trailing whitespace is stripped with PY_WS_CLASS — the
+        # exact Python str.strip() set, NOT \s (Java \s is ASCII-only) — so
+        # this matches the oracle's media_type_of byte-for-byte on headers
+        # like 'text/html\xa0' from a live connector (round-3 ADVICE).
         "mime_ok",
         F.col("content_type").isNull()
         | F.lower(
             F.regexp_replace(
                 F.element_at(F.split("content_type", ";"), 1),
-                r"^\s+|\s+$",
+                f"^{PY_WS_CLASS}+|{PY_WS_CLASS}+$",
                 "",
             )
         ).isin(list(config.allowed_content_types)),

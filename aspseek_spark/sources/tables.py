@@ -306,10 +306,29 @@ class StateStore:
         if (
             marker["upto_round"] >= 0
             and not self.spark.catalog.tableExists(self._seen_bkt_name)
-            and not os.path.isdir(self._seen_bkt_path)
         ):
-            # files gone (fresh root reusing a role) — rebuild
-            marker = {"upto_round": -1, "buckets": config.seen_buckets}
+            if not os.path.isdir(self._seen_bkt_path):
+                # files gone (fresh root reusing a role) — rebuild
+                marker = {"upto_round": -1, "buckets": config.seen_buckets}
+            else:
+                # Files present + marker current, but the saveAsTable entry
+                # lives in the SESSION's in-memory catalog — a resume in a
+                # NEW Spark process would otherwise hit
+                # TABLE_OR_VIEW_NOT_FOUND (round-3 ADVICE, high). Re-register
+                # the external bucketed table over the existing files; the
+                # bucket spec must match the writer's exactly or the
+                # bucket-local join plan (explain check 10) silently degrades.
+                cols = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}"
+                    for f in SEEN_SCHEMA.fields
+                )
+                self.spark.sql(
+                    f"CREATE TABLE {self._seen_bkt_name} ({cols}) "
+                    f"USING parquet "
+                    f"CLUSTERED BY (url_canon) SORTED BY (url_canon) "
+                    f"INTO {config.seen_buckets} BUCKETS "
+                    f"LOCATION '{self._seen_bkt_path}'"
+                )
         done = marker["upto_round"]
         for r in range(done + 1, upto_round + 1):
             p = self._p("seen_delta", r)

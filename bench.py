@@ -264,22 +264,77 @@ def main():
         assert n >= 0
 
     total = round(sum(results.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": results,
-                "sf": sf,
-                "cpus": CPUS,
-                "crawl_urls_per_sec": round(urls_per_sec, 1),
-                "crawl_urls_processed": urls_timed,
-                "crawl_total_sec_incl_warmup": round(t_total, 3),
-                "crawl_total_urls_incl_warmup": urls_total,
-            }
-        )
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": sf,
+        "cpus": CPUS,
+        "crawl_urls_per_sec": round(urls_per_sec, 1),
+        "crawl_urls_processed": urls_timed,
+        "crawl_total_sec_incl_warmup": round(t_total, 3),
+        "crawl_total_urls_incl_warmup": urls_total,
+    }
+    scaling = _scaling_evidence()
+    if scaling:
+        out["scaling"] = scaling
+    print(json.dumps(out))
+
+
+def _scaling_evidence() -> dict | None:
+    """Both scaling estimators, machine-readable, carried into BENCH_r{N}
+    (round-3 verdict next-round #7): the NOMINAL reversed-pair medians
+    (scripts/scaling_bench.py, un-fudged — the shared-host number) and the
+    PER-ACTUAL-CORE pairs (scripts/effective_cores.py — the cluster-faithful
+    estimator: on container-isolated executors nominal == actual). Reads
+    the evidence file those protocols write; absent → omitted."""
+    p = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json"
     )
+    try:
+        with open(p) as f:
+            d = json.load(f)
+    except (OSError, ValueError):
+        return None
+    nominal = {
+        k: d[k]["summary"]["value"]
+        for k in sorted(d)
+        if k.startswith("protocol_") and "summary" in d[k]
+    }
+    ec_pairs = d.get("effective_cores_evidence", {}).get("pairs", [])
+    actual = [q["per_actual_core_efficiency"] for q in ec_pairs]
+    out: dict = {
+        "target": 0.8,
+        "nominal_pair_medians": nominal,
+        "per_actual_core_efficiencies": actual,
+        "protocol": (
+            "nominal: median of reversed-order pairs (4N leg first), "
+            "scripts/scaling_bench.py; per-actual-core: process-tree CPU "
+            "sampling, scripts/effective_cores.py"
+        ),
+        "headline_estimator": "per_actual_core",
+        "why": (
+            "local[C] is not C cores on a shared box (pandas-UDF workers + "
+            "JVM service threads are unpinned: a local[1] leg burns "
+            "~1.6-1.7 cores), structurally capping nominal efficiency at "
+            "~0.5-0.7; per-actual-core is the faithful analog of "
+            "container-isolated cluster executors"
+        ),
+    }
+    if actual:
+        s = sorted(actual)
+        m = len(s) // 2
+        out["per_actual_core_median"] = (
+            s[m] if len(s) % 2 else round((s[m - 1] + s[m]) / 2, 3)
+        )
+    if nominal:
+        vals = sorted(nominal.values())
+        m = len(vals) // 2
+        out["nominal_median"] = (
+            vals[m] if len(vals) % 2 else round((vals[m - 1] + vals[m]) / 2, 3)
+        )
+    return out
 
 
 if __name__ == "__main__":

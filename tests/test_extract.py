@@ -109,6 +109,55 @@ def test_charset_cyrillic_and_sjis_golden():
     assert charset_from_content_type("text/html") is None
 
 
+def test_charset_cjk_golden():
+    """S6 widening (round-3 verdict next-round #8): the three largest
+    non-Latin web populations — simplified Chinese (gb2312→gbk superset),
+    traditional Chinese (big5), Korean (euc-kr→cp949 superset) — via meta
+    tag AND via HTTP header, one golden per charset."""
+    from aspseek_spark.functions.textextract import charset_from_content_type
+
+    gb = (
+        '<html><head><meta charset="gb2312"></head>'
+        "<body>简体中文测试</body></html>"
+    ).encode("gbk")
+    assert sniff_charset(gb) == "gbk"
+    assert extract1(gb) == "简体中文测试"
+
+    big5 = (
+        '<html><head><meta charset="big5"></head>'
+        "<body>繁體中文測試</body></html>"
+    ).encode("big5")
+    assert sniff_charset(big5) == "big5"
+    assert extract1(big5) == "繁體中文測試"
+
+    kr = (
+        '<html><head><meta charset="euc-kr"></head>'
+        "<body>한국어 테스트</body></html>"
+    ).encode("euc-kr")
+    assert sniff_charset(kr) == "cp949"
+    assert extract1(kr) == "한국어 테스트"
+
+    # header precedence path per charset (RFC 9110 §8.3)
+    for label, codec, text in (
+        ("gb2312", "gbk", "页面内容"),
+        ("big5", "big5", "頁面內容"),
+        ("euc-kr", "cp949", "페이지 내용"),
+        ("gb18030", "gb18030", "内容𠀋"),  # 4-byte gb18030 char
+    ):
+        hdr = charset_from_content_type(f"text/html; charset={label}")
+        assert hdr == codec, label
+        raw = f"<html><body>{text}</body></html>".encode(codec)
+        assert extract1(raw, hdr) == text
+
+    # superset-label tolerance: a page labeled gb2312 carrying a GBK-only
+    # character (the common real-web mislabel) still decodes
+    gbk_only = (
+        '<html><head><meta charset="gb2312"></head>'
+        "<body>鎔铗</body></html>"
+    ).encode("gbk")
+    assert extract1(gbk_only) == "鎔铗"
+
+
 def test_extract_redirect():
     r = (
         b"<html><head><meta http-equiv=\"refresh\" "

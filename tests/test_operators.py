@@ -407,6 +407,146 @@ def test_neardup_clusters_match_union_find(spark):
     assert kept == set(want.values())
 
 
+def test_neardup_clusters_string_ids_converge(spark):
+    """Regression (round-3 ADVICE): fixpoint detection must work for
+    NON-NUMERIC doc ids. The old sum(label) probe was NULL on strings, so
+    None == None terminated after one iteration with unconverged clusters
+    on any graph of diameter > 1."""
+    from aspseek_spark.operators.dedup import neardup_clusters
+
+    # chain d0-d1-...-d6: diameter 6, needs several propagation rounds
+    n = 7
+    ids = [f"d{i}" for i in range(n)]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id string")
+    pairs = spark.createDataFrame(
+        [(f"d{i}", f"d{i+1}") for i in range(n - 1)], "a string, b string"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in neardup_clusters(docs, pairs).collect()
+    }
+    assert got == {i: "d0" for i in ids}
+
+
+def test_neardup_clusters_star_chain_logarithmic(spark):
+    """large-star/small-star on a pathological 10^4-node chain (diameter
+    10^4, the case min-label propagation cannot touch): exact union-find
+    parity AND convergence in ≤ ⌈log2 n⌉ + 4 alternation rounds (round-3
+    verdict next-round #6)."""
+    import math
+
+    from aspseek_spark.operators.dedup import neardup_clusters_star
+
+    n = 10_000
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    stats: dict = {}
+    got_rows = neardup_clusters_star(docs, pairs, stats=stats).collect()
+    got = {r["doc_id"]: r["cluster_id"] for r in got_rows}
+    assert got == {i: 0 for i in range(n)}
+    assert sum(r["kept"] for r in got_rows) == 1
+    bound = math.ceil(math.log2(n)) + 4
+    assert stats["iterations"] <= bound, stats
+
+
+def test_neardup_clusters_star_matches_propagation(spark):
+    """Flag-switched variant: identical clusters to min-label propagation
+    (and hence union-find) on a random pair graph with singletons."""
+    import random
+
+    from aspseek_spark.operators.dedup import (
+        neardup_clusters,
+        neardup_clusters_star,
+    )
+
+    rng = random.Random(11)
+    n = 400
+    pairs = sorted(
+        {
+            tuple(sorted((rng.randrange(n), rng.randrange(n))))
+            for _ in range(150)
+        }
+    )
+    pairs = [(a, b) for a, b in pairs if a != b]
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pdf = spark.createDataFrame(pairs, "a long, b long")
+    want = {
+        r["doc_id"]: (r["cluster_id"], r["kept"])
+        for r in neardup_clusters(docs, pdf).collect()
+    }
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["kept"])
+        for r in neardup_clusters_star(docs, pdf).collect()
+    }
+    assert got == want
+
+
+def test_ann_recall_dedup_and_per_query(spark):
+    """Regression (round-3 ADVICE): duplicate approx ids must not inflate
+    recall past 1.0, and query_col groups the evaluation per query against
+    that query's OWN exact top-k."""
+    from aspseek_spark.operators.similarity import ann_recall
+
+    # duplicates: approx lists id 1 three times; exact top-2 = {1, 2}
+    approx = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,)], "vec_id long"
+    )
+    exact = spark.createDataFrame([(1,), (2,)], "vec_id long")
+    r = ann_recall(approx, exact, 2).collect()[0]
+    assert r["recall_at_k"] == 1.0  # was 2.0 before the distinct
+
+    # per-query: q=0 found both of its top-2, q=1 found one of its own and
+    # one id that is only in the OTHER query's truth (must not count)
+    approx_q = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (1, 2)], "qid long, vec_id long"
+    )
+    exact_q = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (1, 4)], "qid long, vec_id long"
+    )
+    rows = {
+        r["qid"]: r["recall_at_k"]
+        for r in ann_recall(
+            approx_q, exact_q, 2, query_col="qid"
+        ).collect()
+    }
+    assert rows == {0: 1.0, 1: 0.5}
+
+
+def test_mime_strip_jvm_matches_python_on_unicode_ws(spark):
+    """Round-3 ADVICE: Java regex \\s is ASCII-only while the oracle's
+    media_type_of uses Python str.strip() (Unicode-aware). The engine's
+    PY_WS_CLASS regexp must strip EXACTLY the Python set — checked here for
+    every isspace character, through a real JVM plan."""
+    from pyspark.sql import functions as F
+
+    from aspseek_spark.functions.textextract import PY_WS_CLASS, media_type_of
+
+    ws_chars = [chr(c) for c in range(0x3001) if chr(c).isspace()]
+    cts = []
+    for ch in ws_chars:
+        cts.append(f"text/html{ch}")
+        cts.append(f"{ch}TEXT/plain{ch}; charset=utf-8")
+    cts += ["application/pdf", "text/html; charset=koi8-r", "a\xa0　"]
+    df = spark.createDataFrame([(s,) for s in cts], "content_type string")
+    got = {
+        r["content_type"]: r["mt"]
+        for r in df.select(
+            "content_type",
+            F.lower(
+                F.regexp_replace(
+                    F.element_at(F.split("content_type", ";"), 1),
+                    f"^{PY_WS_CLASS}+|{PY_WS_CLASS}+$",
+                    "",
+                )
+            ).alias("mt"),
+        ).collect()
+    }
+    for s in cts:
+        assert got[s] == media_type_of(s), repr(s)
+
+
 def test_fake_decode_properties():
     """Property-pin the deterministic stand-in so the q37 oracle contract
     (values exactly reproducible as k/128 with k ∈ [-128, 127]) can't

@@ -1,0 +1,105 @@
+"""qcache analog ([R:src/qcache.cpp]; round-3 verdict missing #2 / next-
+round #4): repeated-query result caching on the SearchJob serving face.
+
+Done-criteria from the verdict: a repeated query plans zero new shuffle
+jobs (plan-based assertion: the repeat is the SAME materialized DataFrame
+and its physical plan is an InMemoryTableScan), and an index append
+invalidates — identical answers to a fresh computation afterwards.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from aspseek_spark.plans.search_job import SearchJob
+
+FETCHED_SCHEMA = (
+    "round int, url_canon string, url_hash64 long, host string, "
+    "depth int, status int, text string"
+)
+
+
+@pytest.fixture(scope="module")
+def qjob(spark, tmp_path_factory):
+    rows = [
+        (1, f"http://h{i % 4}.test/p{i}", i, f"h{i % 4}.test", 1, 200,
+         f"spark data word{i} crawl index merge")
+        for i in range(40)
+    ]
+    fetched = spark.createDataFrame(rows, FETCHED_SCHEMA)
+    job = SearchJob(
+        spark, str(tmp_path_factory.mktemp("qcache_idx")), n_buckets=16
+    )
+    job.build_from_fetched(fetched)
+    return job
+
+
+def _docs(df):
+    return {(r["doc"], r["score"]) for r in df.collect()}
+
+
+def test_repeat_query_serves_from_cache(qjob):
+    fresh = _docs(qjob.search_and(["spark", "data"]))
+    r1 = qjob.search_cached("and", ["spark", "data"])
+    assert _docs(r1) == fresh
+    assert (qjob.qcache_hits, qjob.qcache_misses) == (0, 1)
+
+    r2 = qjob.search_cached("and", ["spark", "data"])
+    assert r2 is r1, "repeat must return the SAME materialized result"
+    assert qjob.qcache_hits == 1
+    # plan-based zero-new-shuffle proof: after materialization the physical
+    # plan is an in-memory scan — re-collecting runs no Exchange
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        r2.explain("formatted")
+    assert "InMemoryTableScan" in buf.getvalue()
+    assert _docs(r2) == fresh
+
+
+def test_query_normalization_shares_entries(qjob):
+    a = qjob.search_cached("and", ["data", "spark"])  # set semantics
+    b = qjob.search_cached("and", ["SPARK", "data"])  # case-insensitive
+    assert a is b
+
+
+def test_index_append_invalidates(qjob, spark):
+    before = qjob.search_cached("and", ["spark", "data"])
+    delta = spark.createDataFrame(
+        [(2, "http://h9.test/new", 900, "h9.test", 1, 200,
+          "spark data appended")],
+        FETCHED_SCHEMA,
+    )
+    qjob.merge_delta(delta)
+    after = qjob.search_cached("and", ["spark", "data"])
+    assert after is not before, "version flip must invalidate"
+    got = _docs(after)
+    assert (900, 2) in got
+    assert got == _docs(qjob.search_and(["spark", "data"]))
+    # the replaced entry was unpersisted (no cache-memory leak across epochs)
+    assert not before.storageLevel.useMemory
+
+
+def test_lru_eviction_unpersists(spark, tmp_path_factory):
+    rows = [
+        (1, f"http://h0.test/p{i}", i, "h0.test", 1, 200, f"w{i} common")
+        for i in range(8)
+    ]
+    job = SearchJob(
+        spark, str(tmp_path_factory.mktemp("qcache_lru")), n_buckets=4,
+        qcache_entries=2,
+    )
+    job.build_from_fetched(spark.createDataFrame(rows, FETCHED_SCHEMA))
+    d0 = job.search_cached("and", ["w0"])
+    job.search_cached("and", ["w1"])
+    job.search_cached("and", ["w2"])  # evicts w0
+    assert len(job._qcache) == 2
+    assert not d0.storageLevel.useMemory
+    # w0 is a miss again; w2 (most recent) is a hit
+    job.qcache_hits = job.qcache_misses = 0
+    job.search_cached("and", ["w0"])
+    job.search_cached("and", ["w2"])
+    assert (job.qcache_hits, job.qcache_misses) == (1, 1)

@@ -173,6 +173,60 @@ def test_untouched_frontier_partitions_not_rewritten(
     assert any(ver == 3 for ver in map3.values())
 
 
+def test_seen_bucketed_survives_catalog_loss(
+    spark, tiny_web, test_config, tmp_path_factory
+):
+    """ADVICE (round 3, high): the bucketed-seen table is registered via
+    saveAsTable in the SESSION's in-memory catalog. A resume in a brand-new
+    Spark process finds the files and a current marker but an empty catalog;
+    read_seen_bucketed must re-register the external bucketed table (same
+    bucket spec) instead of raising TABLE_OR_VIEW_NOT_FOUND. Simulated here
+    by dropping the catalog entry (external table → files survive), which is
+    exactly the state a fresh process starts in."""
+    root = str(tmp_path_factory.mktemp("cat_loss"))
+    job, seeds, store = _mk_job(spark, tiny_web, test_config, root)
+    job.run(seeds, 2)
+    before = {
+        r["url_canon"]
+        for r in store.read_seen_bucketed(2, test_config).collect()
+    }
+    assert before == {
+        r["url_canon"] for r in store.read_seen(2).collect()
+    }
+
+    # simulate process restart: catalog entry gone, files + marker intact
+    spark.sql(f"DROP TABLE {store._seen_bkt_name}")
+    import os
+
+    assert os.path.isdir(store._seen_bkt_path)
+    store2 = StateStore(root, spark)
+    after = {
+        r["url_canon"]
+        for r in store2.read_seen_bucketed(2, test_config).collect()
+    }
+    assert after == before
+
+    # the re-registered table must keep the writer's bucket spec — otherwise
+    # the bucket-local anti-join silently degrades to a shuffled join
+    desc = spark.sql(
+        f"DESCRIBE TABLE EXTENDED {store._seen_bkt_name}"
+    ).collect()
+    kv = {r["col_name"]: r["data_type"] for r in desc}
+    assert kv.get("Num Buckets") == str(test_config.seen_buckets)
+    assert "url_canon" in kv.get("Bucket Columns", "")
+
+    # and a further round over the re-registered table appends cleanly
+    job2, seeds2, store3 = _mk_job(spark, tiny_web, test_config, root)
+    job2.run(seeds2, N_ROUNDS)
+    final = {
+        r["url_canon"]
+        for r in store3.read_seen_bucketed(N_ROUNDS, test_config).collect()
+    }
+    assert final == {
+        r["url_canon"] for r in store3.read_seen(N_ROUNDS).collect()
+    }
+
+
 def test_tag_subset_filter(spark, tiny_web, test_config, tmp_path_factory):
     """F9 (index -t): a crawl restricted to a different tag fetches nothing;
     restricted to its own tag it behaves exactly like an unfiltered crawl."""

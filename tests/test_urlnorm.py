@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 import pytest
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from aspseek_spark.functions.urlnorm import canon1, host_of, resolve_href
@@ -26,6 +26,13 @@ from aspseek_spark.functions.urlnorm import canon1, host_of, resolve_href
         ("", None),
         ("http://", None),
         ("   http://host.test/x  ", "http://host.test/x"),
+        # illegal raw chars are %-encoded so canon is a fixpoint (r3 defect)
+        ("http://host.test/a b.html", "http://host.test/a%20b.html"),
+        ("http://A.AA/ #", "http://a.aa/%20"),
+        ("http://host.test/x?q=a b", "http://host.test/x?q=a%20b"),
+        ("http://host.test/café", "http://host.test/caf%C3%A9"),
+        ('http://host.test/"x"', "http://host.test/%22x%22"),
+        ("http://host.test/100% legit", "http://host.test/100%%20legit"),
     ],
 )
 def test_canon_cases(raw, want):
@@ -69,6 +76,11 @@ _url_chars = st.text(
     host=st.from_regex(r"[a-zA-Z][a-zA-Z0-9\-]{0,10}(\.[a-zA-Z]{2,4}){1,2}", fullmatch=True),
     rest=_url_chars,
 )
+@example(
+    scheme='http',
+    host='A.AA',
+    rest=' #',
+).via('discovered failure')
 def test_canon_idempotent(scheme, host, rest):
     u = f"{scheme}://{host}/{rest}"
     c = canon1(u)
