@@ -820,6 +820,27 @@ def _q54_neardup_clusters_star(spark, sf_dir):
     return neardup_clusters_star(d, pairs)
 
 
+# q55's query string — ONE constant; the Spark entry parses + evaluates it
+# and the oracle generator emits DuckDB SQL from the SAME parse, so the
+# full query language (AND/OR/NOT precedence, parens, quoted phrase,
+# implicit AND) is value-hash-gated end to end.
+Q55_QUERY = '("the table" | query) & data & ~merge'
+
+
+def _q55_query_language(spark, sf_dir):
+    # the s.cgi boolean query front end (reference search syntax: & | ~
+    # parens "phrases"), parsed once and evaluated against postings —
+    # SearchJob.search_query serves the same AST off the stored index
+    # (tests/test_queryparse.py parity)
+    from aspseek_spark.functions.queryparse import parse_query
+    from aspseek_spark.operators.postings import build_postings, eval_query
+
+    d = _t(spark, sf_dir, "documents")
+    ast = parse_query(Q55_QUERY)
+    out = eval_query(build_postings(d.select("doc_id", "text")), ast)
+    return out.select(F.col("doc").alias("doc_id"), "score")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -876,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_ann_recall": _q52_ann_recall,
         "q53_search_excerpts": _q53_search_excerpts,
         "q54_neardup_clusters_star": _q54_neardup_clusters_star,
+        "q55_query_language": _q55_query_language,
     }
 
 
@@ -1043,6 +1065,16 @@ def _excerpt_oracle() -> str:
         SELECT doc_id, score, best_term, excerpt
         FROM ({frag})
     """
+
+
+def _query_language_oracle() -> str:
+    """Mirror of _q55: DuckDB SQL generated from the SAME parse of
+    Q55_QUERY (postings.query_oracle_sql) — parser, precedence, phrase and
+    NOT semantics all under the value-hash gate."""
+    from aspseek_spark.functions.queryparse import parse_query
+    from aspseek_spark.operators.postings import query_oracle_sql
+
+    return query_oracle_sql(parse_query(Q55_QUERY))
 
 
 def _simhash_oracle() -> str:
@@ -1733,6 +1765,7 @@ def oracle_sql() -> dict[str, str]:
         "q52_ann_recall": _ann_recall_oracle(),
         "q53_search_excerpts": _excerpt_oracle(),
         "q54_neardup_clusters_star": _neardup_clusters_oracle(8),
+        "q55_query_language": _query_language_oracle(),
         "q50_revisit_validator": """
             -- S7 validator selection (RFC 9110 §13.1.2): If-None-Match
             -- decides alone when BOTH sides have an etag, else fall back

@@ -120,6 +120,181 @@ def proximity_match(postings: DataFrame, w1: str, w2: str, window: int) -> DataF
     )
 
 
+def phrase_match_n(postings: DataFrame, words: list[str]) -> DataFrame:
+    """n-word exact phrase (J8 generalized): (doc, score = occurrence
+    count). Occurrence positions are the running intersection
+    S = positions(w1) ∩ (positions(w2)−1) ∩ ... ∩ (positions(wn)−(n−1)),
+    computed with array_intersect over the probed postings — one join per
+    phrase word, no explode, no UDF."""
+
+    def _shift(k: int):
+        # factory, not a loop-var lambda (late binding would shift every
+        # word by the LAST offset)
+        return lambda x: x - k
+
+    lowered = [w.lower() for w in words]
+    base = postings.filter(F.col("word") == lowered[0]).select(
+        "doc", F.col("positions").alias("_p")
+    )
+    for k, w in enumerate(lowered[1:], start=1):
+        nxt = postings.filter(F.col("word") == w).select(
+            F.col("doc").alias("_d"), F.col("positions").alias("_q")
+        )
+        base = (
+            base.join(nxt, base["doc"] == nxt["_d"])
+            .withColumn(
+                "_p",
+                F.array_intersect(
+                    F.col("_p"), F.transform(F.col("_q"), _shift(k))
+                ),
+            )
+            .filter(F.size("_p") > 0)
+            .select("doc", "_p")
+        )
+    return base.select("doc", F.size("_p").cast("long").alias("score"))
+
+
+def eval_query(postings: DataFrame, node) -> DataFrame:
+    """Evaluate a parsed search query (functions/queryparse AST) against a
+    postings DataFrame → (doc, score). The boolean operators map to the
+    §2.7 set ops: AND = inner join (scores summed), OR = union + groupBy
+    sum, AND NOT = left_anti; phrases go through phrase_match_n. Negative-
+    only queries and OR over a negated subquery raise ValueError (the
+    reference's s.cgi refuses them too — they denote 'everything but',
+    which is unbounded)."""
+    from ..functions.queryparse import And, Not, Or, Phrase, Term
+
+    def walk(n):
+        if isinstance(n, Term):
+            return "pos", postings.filter(F.col("word") == n.word).select(
+                "doc", F.col("tf").cast("long").alias("score")
+            )
+        if isinstance(n, Phrase):
+            return "pos", phrase_match_n(postings, list(n.words))
+        if isinstance(n, Not):
+            if isinstance(n.child, Not):  # ~~x = x
+                return walk(n.child.child)
+            k, df = walk(n.child)
+            if k == "neg":
+                raise ValueError(
+                    "negation of a composite negative subquery is unsupported"
+                )
+            return "neg", df.select("doc")
+        if isinstance(n, And):
+            ka, a = walk(n.left)
+            kb, b = walk(n.right)
+            if ka == "pos" and kb == "pos":
+                b2 = b.select(
+                    F.col("doc").alias("_bd"), F.col("score").alias("_bs")
+                )
+                return "pos", a.join(b2, a["doc"] == b2["_bd"]).select(
+                    "doc", (F.col("score") + F.col("_bs")).alias("score")
+                )
+            if ka == "neg" and kb == "neg":
+                return "neg", a.unionByName(b).distinct()
+            pos, neg = (a, b) if ka == "pos" else (b, a)
+            return "pos", pos.join(neg, "doc", "left_anti")
+        if isinstance(n, Or):
+            ka, a = walk(n.left)
+            kb, b = walk(n.right)
+            if ka == "neg" or kb == "neg":
+                raise ValueError("OR over a negated subquery is unsupported")
+            return "pos", a.unionByName(b).groupBy("doc").agg(
+                F.sum("score").alias("score")
+            )
+        raise TypeError(f"unknown query node {n!r}")
+
+    kind, df = walk(node)
+    if kind == "neg":
+        raise ValueError("negative-only query matches an unbounded set")
+    return df
+
+
+def query_oracle_sql(
+    node,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB SQL for the exact eval_query semantics, generated from the
+    SAME AST — one parse, two backends (the excerpt_oracle_sql pattern), so
+    the driver's value-hash gate covers the full query language. Returns a
+    complete SELECT yielding (doc_id, score)."""
+    from ..functions.queryparse import And, Not, Or, Phrase, Term
+
+    def walk(n) -> tuple[str, str]:
+        if isinstance(n, Term):
+            return "pos", (
+                "(SELECT doc, count(*)::BIGINT AS score FROM qtoks "
+                f"WHERE word = '{n.word}' GROUP BY doc)"
+            )
+        if isinstance(n, Phrase):
+            conds = " AND ".join(
+                f"lower(t[i + {k}]) = '{w}'" for k, w in enumerate(n.words)
+            )
+            return "pos", (
+                f"(SELECT {id_col} AS doc, count(*)::BIGINT AS score "
+                "FROM qarr, unnest(generate_series(1, "
+                f"len(t) - {len(n.words) - 1})) AS u(i) "
+                f"WHERE {conds} GROUP BY {id_col})"
+            )
+        if isinstance(n, Not):
+            if isinstance(n.child, Not):  # ~~x = x
+                return walk(n.child.child)
+            k, sql = walk(n.child)
+            if k == "neg":
+                raise ValueError(
+                    "negation of a composite negative subquery is unsupported"
+                )
+            return "neg", f"(SELECT doc FROM {sql} nn)"
+        if isinstance(n, And):
+            ka, a = walk(n.left)
+            kb, b = walk(n.right)
+            if ka == "pos" and kb == "pos":
+                return "pos", (
+                    "(SELECT a.doc, (a.score + b.score)::BIGINT AS score "
+                    f"FROM {a} a JOIN {b} b ON a.doc = b.doc)"
+                )
+            if ka == "neg" and kb == "neg":
+                return "neg", (
+                    f"(SELECT doc FROM {a} na UNION SELECT doc FROM {b} nb)"
+                )
+            pos, neg = (a, b) if ka == "pos" else (b, a)
+            return "pos", (
+                f"(SELECT a.doc, a.score FROM {pos} a "
+                f"WHERE a.doc NOT IN (SELECT doc FROM {neg} nx))"
+            )
+        if isinstance(n, Or):
+            ka, a = walk(n.left)
+            kb, b = walk(n.right)
+            if ka == "neg" or kb == "neg":
+                raise ValueError("OR over a negated subquery is unsupported")
+            return "pos", (
+                "(SELECT doc, sum(score)::BIGINT AS score FROM "
+                f"(SELECT * FROM {a} ua UNION ALL SELECT * FROM {b} ub) uu "
+                "GROUP BY doc)"
+            )
+        raise TypeError(f"unknown query node {n!r}")
+
+    kind, expr = walk(node)
+    if kind == "neg":
+        raise ValueError("negative-only query matches an unbounded set")
+    return f"""
+        WITH qtoks AS (
+            SELECT {id_col} AS doc,
+                   lower(unnest(list_filter(string_split({text_col}, ' '),
+                                            x -> x <> ''))) AS word
+            FROM {table}
+        ), qarr AS (
+            SELECT {id_col},
+                   list_filter(string_split({text_col}, ' '), x -> x <> '')
+                       AS t
+            FROM {table}
+        )
+        SELECT doc AS {id_col}, score FROM {expr} q
+    """
+
+
 def expand_terms(
     terms: list[str], form_map: dict[str, list[str]] | None = None
 ) -> list[str]:
@@ -287,13 +462,28 @@ def probe_postings_bucketed(
 
 
 def compact_postings(
-    spark, main_path: str, delta: DataFrame, out_path: str, n_buckets: int = 64
+    spark,
+    main_path: str,
+    delta: DataFrame,
+    out_path: str,
+    n_buckets: int = 64,
+    drop_docs: DataFrame | None = None,
 ) -> None:
-    """SNK2 LSM-style merge: realtime delta postings merged into the main
-    bucketed index (positions concatenated, tf summed) and rewritten —
-    the periodic `index` merge pass. Reads only the buckets the delta
-    touches at scale (partition pruning on word_bucket)."""
+    """SNK2 LSM-style merge: a re-crawled doc's postings REPLACE its old
+    ones (the delta's doc set is anti-joined out of the main index before
+    the union — a plain union would keep stale words searchable on a
+    revisited doc), and ``drop_docs`` (one `doc` column — e.g. URLs that
+    answered 404/410 on revisit) leave the index entirely, the reference's
+    delete pass. Both doc sets are delta-sized → broadcast anti-joins
+    against the bucketed main scan. Duplicate delta rows still merge
+    (positions concatenated, tf summed)."""
     main = spark.read.parquet(main_path).drop("word_bucket")
+    delta_docs = delta.select("doc").distinct()
+    main = main.join(F.broadcast(delta_docs), "doc", "left_anti")
+    if drop_docs is not None:
+        drop = drop_docs.select("doc").distinct()
+        main = main.join(F.broadcast(drop), "doc", "left_anti")
+        delta = delta.join(F.broadcast(drop), "doc", "left_anti")
     merged = (
         main.unionByName(delta)
         .groupBy("doc", "word")

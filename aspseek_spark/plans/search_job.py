@@ -44,6 +44,7 @@ from ..operators.postings import (
     docs_with_all,
     docs_with_any,
     docs_without,
+    eval_query,
     expand_terms,
     phrase_match,
     probe_postings_bucketed,
@@ -208,23 +209,41 @@ class SearchJob:
         window and a reader-error window)."""
         delta_docs = _indexable_docs(fetched_delta).localCheckpoint()
         delta = build_postings(delta_docs, "doc_id", "text")
+        # the reference's delete pass: a URL whose LATEST delta row answers
+        # 404/410 leaves the index and the stored-text table entirely
+        gone = (
+            fetched_delta.groupBy("url_hash64")
+            .agg(F.max_by("status", "round").alias("last_status"))
+            .filter(F.col("last_status").isin(404, 410))
+            .select(F.col("url_hash64").alias("doc"))
+            .localCheckpoint()
+        )
         src = self.index_path  # resolved BEFORE the flip
         meta_src = self.meta_path
         v = self._live_version()
         nxt = 0 if v is None else v + 1
         dst = os.path.join(self.root, f"postings_v{nxt}")
         shutil.rmtree(dst, ignore_errors=True)  # crashed prior attempt
-        compact_postings(self.spark, src, delta, dst, self.n_buckets)
+        compact_postings(
+            self.spark, src, delta, dst, self.n_buckets, drop_docs=gone
+        )
         # stored-text refresh: delta docs replace their old rows (revisit →
-        # newest body serves the excerpt), everything else carries over. At
-        # scale both sides partition-prune to the ≤|delta| doc_buckets the
-        # delta touches; untouched buckets copy through unchanged.
+        # newest body serves the excerpt), gone docs drop, everything else
+        # carries over. At scale both sides partition-prune to the ≤|delta|
+        # doc_buckets the delta touches; untouched buckets copy through.
+        gone_ids = gone.select(F.col("doc").alias("doc_id"))
         old_meta = self.spark.read.parquet(meta_src).select(
             "doc_id", "host", "text"
         )
-        merged_meta = old_meta.join(
-            delta_docs.select("doc_id"), "doc_id", "left_anti"
-        ).unionByName(delta_docs.select("doc_id", "host", "text"))
+        merged_meta = (
+            old_meta.join(delta_docs.select("doc_id"), "doc_id", "left_anti")
+            .join(gone_ids, "doc_id", "left_anti")
+            .unionByName(
+                delta_docs.join(gone_ids, "doc_id", "left_anti").select(
+                    "doc_id", "host", "text"
+                )
+            )
+        )
         self._write_meta(
             merged_meta, os.path.join(self.root, f"docs_meta_v{nxt}")
         )
@@ -251,6 +270,12 @@ class SearchJob:
         if family in ("and", "any", "any_form", "zone_ranked", "ranked",
                       "excerpts") and na and isinstance(na[0], tuple):
             na = (tuple(sorted(na[0])),) + na[1:]
+        if family == "query" and na and isinstance(na[0], str):
+            # normalize through the parser: '(a&b)' and 'a  b' share an AST
+            # (frozen dataclasses — hashable), hence a cache entry
+            from ..functions.queryparse import parse_query
+
+            na = (parse_query(na[0]),) + na[1:]
         return (family, na, tuple(sorted((k, norm(v)) for k, v in kwargs.items())))
 
     def search_cached(self, family: str, *args, **kwargs) -> DataFrame:
@@ -308,6 +333,18 @@ class SearchJob:
     ) -> DataFrame:
         expanded = expand_terms(terms, form_map)
         return docs_with_any(self.probe(expanded), expanded)
+
+    def search_query(self, q: str) -> DataFrame:
+        """The s.cgi query-language front door: parse the boolean query
+        string (& | ~ parens "phrases", functions/queryparse), probe the
+        stored index for EXACTLY the query's terms (bucket-pruned scan),
+        evaluate the AST → (doc, score). One parse feeds both this and the
+        DuckDB oracle generator, so the language's semantics are
+        value-hash-checked end to end (driver q55)."""
+        from ..functions.queryparse import parse_query, query_terms
+
+        ast = parse_query(q)
+        return eval_query(self.probe(query_terms(ast)), ast)
 
     def search_zone_ranked(
         self, terms: list[str], title_weight: int = 8, k: int = 10

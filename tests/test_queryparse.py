@@ -1,0 +1,191 @@
+"""Search query language (s.cgi front end): parser unit tests, evaluator
+parity with the individual §2.3/§2.7 operators, Spark-vs-DuckDB parity of
+the generated oracle SQL (one AST, two backends), and the SearchJob
+stored-index path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aspseek_spark.functions.queryparse import (
+    And,
+    Not,
+    Or,
+    Phrase,
+    QuerySyntaxError,
+    Term,
+    parse_query,
+    query_terms,
+)
+from aspseek_spark.operators.postings import (
+    build_postings,
+    docs_with_all,
+    docs_without,
+    eval_query,
+    phrase_match,
+    phrase_match_n,
+    query_oracle_sql,
+)
+
+# --- parser ----------------------------------------------------------------
+
+
+def test_parser_precedence_and_forms():
+    assert parse_query("a") == Term("a")
+    assert parse_query("a & b") == And(Term("a"), Term("b"))
+    assert parse_query("a b") == And(Term("a"), Term("b"))  # implicit AND
+    # NOT > AND > OR
+    assert parse_query("a | b & c") == Or(Term("a"), And(Term("b"), Term("c")))
+    assert parse_query("(a | b) & c") == And(
+        Or(Term("a"), Term("b")), Term("c")
+    )
+    assert parse_query("a & ~b") == And(Term("a"), Not(Term("b")))
+    assert parse_query('"the table"') == Phrase(("the", "table"))
+    assert parse_query('"solo"') == Term("solo")  # 1-word phrase = term
+    assert parse_query("A & B") == And(Term("a"), Term("b"))  # lowercased
+    assert query_terms(
+        parse_query('("x y" | z) & ~w')
+    ) == ["x", "y", "z", "w"]
+
+
+def test_parser_errors():
+    for bad in ("", "   ", "(a", "a)", "a &", "& a", "a | |", '""'):
+        with pytest.raises(QuerySyntaxError):
+            parse_query(bad)
+
+
+# --- evaluator -------------------------------------------------------------
+
+DOCS_ROWS = [
+    (1, "spark data engine spark"),
+    (2, "data table query data data"),
+    (3, "spark merge the table query"),
+    (4, "the table query the table wins"),
+    (5, "nothing relevant here"),
+    (6, "spark data merge"),
+]
+
+
+@pytest.fixture(scope="module")
+def qdocs(spark):
+    return spark.createDataFrame(
+        DOCS_ROWS, "doc_id long, text string"
+    ).localCheckpoint()
+
+
+@pytest.fixture(scope="module")
+def qpost(spark, qdocs):
+    return build_postings(qdocs, "doc_id", "text").localCheckpoint()
+
+
+def _rows(df):
+    return {(r["doc"], r["score"]) for r in df.collect()}
+
+
+def test_eval_matches_individual_operators(qpost):
+    # AND == docs_with_all (same doc set AND same summed-tf score)
+    assert _rows(eval_query(qpost, parse_query("spark & data"))) == _rows(
+        docs_with_all(qpost, ["spark", "data"])
+    )
+    # AND NOT == docs_without
+    assert _rows(eval_query(qpost, parse_query("spark & ~merge"))) == _rows(
+        docs_without(docs_with_all(qpost, ["spark"]), qpost, "merge")
+    )
+    # 2-word phrase doc set == phrase_match
+    got = eval_query(qpost, parse_query('"the table"'))
+    assert {r["doc"] for r in got.collect()} == {
+        r["doc"] for r in phrase_match(qpost, "the", "table").collect()
+    }
+    # phrase score counts occurrences: doc 4 has 'the table' twice
+    assert dict(_rows(got))[4] == 2
+
+
+def test_eval_three_word_phrase(qpost):
+    got = _rows(eval_query(qpost, parse_query('"the table query"')))
+    # docs 3 and 4 contain the exact trigram once each; doc 2 has the
+    # bigram 'table query' but not the trigram
+    assert got == {(3, 1), (4, 1)}
+    assert _rows(phrase_match_n(qpost, ["the", "table", "query"])) == got
+
+
+def test_eval_or_scores_sum(qpost):
+    got = dict(_rows(eval_query(qpost, parse_query("spark | data"))))
+    # doc 1: spark tf 2 + data tf 1 = 3; doc 2: data tf 3
+    assert got[1] == 3 and got[2] == 3 and got[6] == 2
+
+
+def test_eval_rejects_unbounded(qpost):
+    for q in ("~spark", "~(a & b)", "a | ~b"):
+        with pytest.raises(ValueError):
+            eval_query(qpost, parse_query(q))
+
+
+def test_eval_double_negation(qpost):
+    assert _rows(eval_query(qpost, parse_query("~~spark"))) == _rows(
+        eval_query(qpost, parse_query("spark"))
+    )
+
+
+QUERIES_FOR_PARITY = [
+    "spark",
+    "spark & data",
+    "spark data",
+    "spark | table",
+    "(spark | table) & data",
+    "spark & ~merge",
+    '"the table"',
+    '"the table query"',
+    '("the table" | query) & ~wins',
+    "~~spark & data",
+]
+
+
+def test_eval_matches_duckdb_oracle(spark, qdocs, qpost):
+    """The strong gate: for every query shape, eval_query on Spark equals
+    query_oracle_sql on DuckDB over the same rows — one AST, two backends."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {t!r})" for i, t in DOCS_ROWS)
+        + ") v(doc_id, text)"
+    )
+    for q in QUERIES_FOR_PARITY:
+        ast = parse_query(q)
+        got = _rows(eval_query(qpost, ast))
+        want = set(
+            (d, s)
+            for d, s in con.execute(query_oracle_sql(ast)).fetchall()
+        )
+        assert got == want, q
+
+
+def test_search_job_query_language(spark, qdocs, tmp_path_factory):
+    """SearchJob.search_query (stored, bucket-pruned index) returns the
+    inline eval_query answer for every parity query."""
+    from aspseek_spark.plans.search_job import SearchJob
+
+    fetched = qdocs.select(
+        F.lit(1).alias("round"),
+        F.concat(F.lit("http://h.test/p"), "doc_id").alias("url_canon"),
+        F.col("doc_id").alias("url_hash64"),
+        F.lit("h.test").alias("host"),
+        F.lit(1).alias("depth"),
+        F.lit(200).alias("status"),
+        "text",
+    )
+    job = SearchJob(
+        spark, str(tmp_path_factory.mktemp("qlang_idx")), n_buckets=8
+    )
+    job.build_from_fetched(fetched)
+    qpost_inline = build_postings(qdocs, "doc_id", "text")
+    for q in QUERIES_FOR_PARITY:
+        got = _rows(job.search_query(q))
+        want = _rows(eval_query(qpost_inline, parse_query(q)))
+        assert got == want, q
+    # the qcache front: repeated query string (different spelling) hits
+    r1 = job.search_cached("query", "spark&data")
+    r2 = job.search_cached("query", "spark  &  data")
+    assert r2 is r1

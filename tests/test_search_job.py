@@ -242,6 +242,53 @@ def test_excerpt_follows_merge_delta(spark, fetched_fixture, tmp_path_factory):
     assert rows[0].startswith("merge wins freshest")
 
 
+def test_merge_replaces_revisited_doc_postings(
+    spark, fetched_fixture, tmp_path_factory
+):
+    """A re-crawled doc's postings must REPLACE its old ones in the LSM
+    merge: before this fix the merge unioned old+new, so a stale word kept
+    hitting the revisited doc forever (index/stored-text divergence)."""
+    job = SearchJob(
+        spark, str(tmp_path_factory.mktemp("replace_idx")), n_buckets=16
+    )
+    job.build_from_fetched(fetched_fixture)
+    assert 1 in _docs(job.search_and(["filler1"]))  # doc 1's unique word
+    delta = spark.createDataFrame(
+        [(3, "http://h01.test/p1", 1, "h01.test", 1, 200,
+          "replacement body only")],
+        "round int, url_canon string, url_hash64 long, host string, "
+        "depth int, status int, text string",
+    )
+    job.merge_delta(delta)
+    assert 1 not in _docs(job.search_and(["filler1"])), "stale postings"
+    assert 1 in _docs(job.search_and(["replacement"]))
+    # stored text agrees with the index
+    ex = {r["doc"]: r["excerpt"]
+          for r in job.excerpts_for_page(["replacement"], [1]).collect()}
+    assert ex[1].startswith("replacement body")
+
+
+def test_merge_deletes_gone_docs(spark, fetched_fixture, tmp_path_factory):
+    """The reference's delete pass: a URL answering 404 on revisit leaves
+    postings AND the stored-text table in the merged generation."""
+    job = SearchJob(
+        spark, str(tmp_path_factory.mktemp("gone_idx")), n_buckets=16
+    )
+    job.build_from_fetched(fetched_fixture)
+    assert 2 in _docs(job.search_and(["filler2"]))
+    delta = spark.createDataFrame(
+        [(3, "http://h02.test/p2", 2, "h02.test", 1, 404, None)],
+        "round int, url_canon string, url_hash64 long, host string, "
+        "depth int, status int, text string",
+    )
+    job.merge_delta(delta)
+    assert 2 not in _docs(job.search_and(["filler2"]))
+    meta = spark.read.parquet(job.meta_path)
+    assert meta.filter(F.col("doc_id") == 2).count() == 0
+    # other docs untouched
+    assert 0 in _docs(job.search_and(["merge"]))
+
+
 def test_merge_swap_is_atomic(spark, fetched_fixture, tmp_path_factory):
     """Round-3 ADVICE: the old rename/rename swap had a window with NO live
     index. The versioned-dir + pointer-file scheme must (a) always resolve
