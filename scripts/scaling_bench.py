@@ -140,8 +140,31 @@ def main():
         "jobs_per_round": min(job_counts) if job_counts else None,
     }
     print(json.dumps(summary), flush=True)
-    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
-        json.dump({"runs": runs, "summary": summary}, f, indent=2)
+    # MERGE into the evidence file: each invocation lands under its own
+    # protocol_{N}_to_{4N}[_windowK] key, preserving earlier windows and
+    # the effective_cores_evidence section (bench.py embeds BOTH estimators
+    # from this file into the headline JSON — round-3 verdict #7)
+    path = os.path.join(REPO, "BENCH_SCALING.json")
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except (OSError, ValueError):
+        doc = {}
+    key = f"protocol_{N_LOW}_to_{N_HIGH}"
+    k, n = key, 2
+    while k in doc:
+        k = f"{key}_window{n}"
+        n += 1
+    doc[k] = {
+        "runs": runs,
+        "pair_lines": [
+            {"pair": i, "efficiency": e} for i, e in enumerate(pair_effs)
+        ],
+        "summary": summary,
+    }
+    doc["summary"] = summary  # newest window also at top level
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=2)
 
 
 if __name__ == "__main__":
