@@ -841,6 +841,29 @@ def _q55_query_language(spark, sf_dir):
     return out.select(F.col("doc").alias("doc_id"), "score")
 
 
+Q56_QUERY = "(table | query) & data & site:src3"
+
+
+def _q56_query_site_filter(spark, sf_dir):
+    # s.cgi `site:` modifier: restrict a boolean text query to one site
+    # (score-neutral filter AND'd into the plan); documents.source plays
+    # the site column on the driver tables. Oracle generated from the SAME
+    # parse with site_col bound.
+    from aspseek_spark.functions.queryparse import parse_query
+    from aspseek_spark.operators.postings import build_postings, eval_query
+
+    d = _t(spark, sf_dir, "documents")
+    ast = parse_query(Q56_QUERY)
+    out = eval_query(
+        build_postings(d.select("doc_id", "text")),
+        ast,
+        site_of=d.select(
+            F.col("doc_id").alias("doc"), F.col("source").alias("site")
+        ),
+    )
+    return out.select(F.col("doc").alias("doc_id"), "score")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -898,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_search_excerpts": _q53_search_excerpts,
         "q54_neardup_clusters_star": _q54_neardup_clusters_star,
         "q55_query_language": _q55_query_language,
+        "q56_query_site_filter": _q56_query_site_filter,
     }
 
 
@@ -1075,6 +1099,14 @@ def _query_language_oracle() -> str:
     from aspseek_spark.operators.postings import query_oracle_sql
 
     return query_oracle_sql(parse_query(Q55_QUERY))
+
+
+def _query_site_filter_oracle() -> str:
+    """Mirror of _q56: same parse, site_col bound to documents.source."""
+    from aspseek_spark.functions.queryparse import parse_query
+    from aspseek_spark.operators.postings import query_oracle_sql
+
+    return query_oracle_sql(parse_query(Q56_QUERY), site_col="source")
 
 
 def _simhash_oracle() -> str:
@@ -1766,6 +1798,7 @@ def oracle_sql() -> dict[str, str]:
         "q53_search_excerpts": _excerpt_oracle(),
         "q54_neardup_clusters_star": _neardup_clusters_oracle(8),
         "q55_query_language": _query_language_oracle(),
+        "q56_query_site_filter": _query_site_filter_oracle(),
         "q50_revisit_validator": """
             -- S7 validator selection (RFC 9110 §13.1.2): If-None-Match
             -- decides alone when BOTH sides have an etag, else fall back

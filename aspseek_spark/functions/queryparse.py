@@ -8,7 +8,8 @@ Grammar (precedence low → high):
     or      := and ( '|' and )*
     and     := unary ( ('&' | ε) unary )*      # adjacency = implicit AND
     unary   := '~' unary | atom
-    atom    := '(' query ')' | '"' word+ '"' | word
+    atom    := '(' query ')' | '"' word+ '"' | 'site:' host
+             | 'link:' url | word
 
 Words lowercase at parse time (the postings are lowercase). The parser is
 pure Python and produces a tiny AST the Spark evaluator
@@ -42,6 +43,18 @@ class Term:
 
 
 @dataclass(frozen=True)
+class Site:
+    """`site:host` modifier — restrict to one site (score-neutral)."""
+    host: str
+
+
+@dataclass(frozen=True)
+class Link:
+    """`link:url` modifier — docs that link to the URL (score-neutral)."""
+    url: str
+
+
+@dataclass(frozen=True)
 class Phrase:
     words: tuple[str, ...]
 
@@ -63,7 +76,7 @@ class Not:
     child: "Node"
 
 
-Node = Term | Phrase | And | Or | Not
+Node = Term | Phrase | And | Or | Not | Site | Link
 
 _TOKEN_RE = re.compile(r'\s*(?:(\()|(\))|(&)|(\|)|(~)|("([^"]*)")|([^\s()&|~"]+))')
 
@@ -156,7 +169,18 @@ class _Parser:
             words = tuple(v.split())
             return Phrase(words) if len(words) > 1 else Term(words[0])
         if p == "word":
-            return Term(self.next()[1])
+            w = self.next()[1]
+            # s.cgi query modifiers (reference search front end): a word
+            # token of the form site:HOST / link:URL is a filter atom
+            if w.startswith("site:"):
+                if not w[5:]:
+                    raise QuerySyntaxError("empty site: filter")
+                return Site(w[5:])
+            if w.startswith("link:"):
+                if not w[5:]:
+                    raise QuerySyntaxError("empty link: filter")
+                return Link(w[5:])
+            return Term(w)
         raise QuerySyntaxError(f"expected a term, got {p!r}")
 
 
@@ -181,6 +205,8 @@ def query_terms(node: Node) -> list[str]:
             for w in n.words:
                 if w not in out:
                     out.append(w)
+        elif isinstance(n, (Site, Link)):
+            pass  # filter atoms probe meta/links tables, not postings
         elif isinstance(n, Not):
             walk(n.child)
         else:

@@ -154,15 +154,25 @@ def phrase_match_n(postings: DataFrame, words: list[str]) -> DataFrame:
     return base.select("doc", F.size("_p").cast("long").alias("score"))
 
 
-def eval_query(postings: DataFrame, node) -> DataFrame:
+def eval_query(
+    postings: DataFrame,
+    node,
+    site_of: DataFrame | None = None,
+    links_to: DataFrame | None = None,
+) -> DataFrame:
     """Evaluate a parsed search query (functions/queryparse AST) against a
     postings DataFrame → (doc, score). The boolean operators map to the
     §2.7 set ops: AND = inner join (scores summed), OR = union + groupBy
     sum, AND NOT = left_anti; phrases go through phrase_match_n. Negative-
     only queries and OR over a negated subquery raise ValueError (the
     reference's s.cgi refuses them too — they denote 'everything but',
-    which is unbounded)."""
-    from ..functions.queryparse import And, Not, Or, Phrase, Term
+    which is unbounded).
+
+    Modifier atoms (score-neutral filter sets, scored 0 so AND passes the
+    text score through): `site:` needs ``site_of`` (doc, site); `link:`
+    needs ``links_to`` (doc, target) — the crawl's link graph keyed by the
+    LINKING doc."""
+    from ..functions.queryparse import And, Link, Not, Or, Phrase, Site, Term
 
     def walk(n):
         if isinstance(n, Term):
@@ -171,6 +181,20 @@ def eval_query(postings: DataFrame, node) -> DataFrame:
             )
         if isinstance(n, Phrase):
             return "pos", phrase_match_n(postings, list(n.words))
+        if isinstance(n, Site):
+            if site_of is None:
+                raise ValueError("site: filter needs the site_of table")
+            return "pos", site_of.filter(
+                F.col("site") == n.host
+            ).select("doc", F.lit(0).cast("long").alias("score"))
+        if isinstance(n, Link):
+            if links_to is None:
+                raise ValueError("link: filter needs the links_to table")
+            return "pos", links_to.filter(
+                F.col("target") == n.url
+            ).select("doc").distinct().withColumn(
+                "score", F.lit(0).cast("long")
+            )
         if isinstance(n, Not):
             if isinstance(n.child, Not):  # ~~x = x
                 return walk(n.child.child)
@@ -215,12 +239,15 @@ def query_oracle_sql(
     table: str = "documents",
     id_col: str = "doc_id",
     text_col: str = "text",
+    site_col: str | None = None,
 ) -> str:
     """DuckDB SQL for the exact eval_query semantics, generated from the
     SAME AST — one parse, two backends (the excerpt_oracle_sql pattern), so
     the driver's value-hash gate covers the full query language. Returns a
-    complete SELECT yielding (doc_id, score)."""
-    from ..functions.queryparse import And, Not, Or, Phrase, Term
+    complete SELECT yielding (doc_id, score). ``site_col`` names the
+    table's site column for `site:` atoms (link: atoms are engine-side
+    only — the driver tables carry no link graph)."""
+    from ..functions.queryparse import And, Link, Not, Or, Phrase, Site, Term
 
     def walk(n) -> tuple[str, str]:
         if isinstance(n, Term):
@@ -228,6 +255,15 @@ def query_oracle_sql(
                 "(SELECT doc, count(*)::BIGINT AS score FROM qtoks "
                 f"WHERE word = '{n.word}' GROUP BY doc)"
             )
+        if isinstance(n, Site):
+            if site_col is None:
+                raise ValueError("site: oracle needs site_col")
+            return "pos", (
+                f"(SELECT {id_col} AS doc, 0::BIGINT AS score FROM {table} "
+                f"WHERE {site_col} = '{n.host}')"
+            )
+        if isinstance(n, Link):
+            raise ValueError("link: has no oracle (no link table)")
         if isinstance(n, Phrase):
             conds = " AND ".join(
                 f"lower(t[i + {k}]) = '{w}'" for k, w in enumerate(n.words)
@@ -602,6 +638,37 @@ def excerpt_oracle_sql(
             )
         )
     """
+
+
+def blend_popularity(
+    scored: DataFrame,
+    ranks: DataFrame,
+    alpha: float = 1.0,
+    rank_doc_col: str = "doc",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """W4 + A5 at serve time: the reference folds the `index -R` PageRank
+    into result ordering ([R:src/ranks.cpp] popularity weighting).
+    Deterministic rule (SQL-mirrorable): score_pop = round(score · (1 +
+    alpha · rank), 6), docs missing from ``ranks`` keep their text score
+    (rank 0). ``ranks`` is doc-keyed and usually orders of magnitude
+    smaller than the corpus after a top-N cut — Catalyst broadcasts it;
+    ordering stays (score_pop desc, doc asc) deterministic."""
+    r = ranks.select(
+        F.col(rank_doc_col).alias("_rd"), F.col(rank_col).alias("_rv")
+    )
+    return (
+        scored.join(r, scored["doc"] == r["_rd"], "left")
+        .withColumn(
+            "score_pop",
+            F.round(
+                F.col("score")
+                * (F.lit(1.0) + F.lit(alpha) * F.coalesce("_rv", F.lit(0.0))),
+                6,
+            ),
+        )
+        .drop("_rd", "_rv")
+    )
 
 
 def rank_results(

@@ -334,17 +334,28 @@ class SearchJob:
         expanded = expand_terms(terms, form_map)
         return docs_with_any(self.probe(expanded), expanded)
 
-    def search_query(self, q: str) -> DataFrame:
+    def search_query(
+        self, q: str, links_to: DataFrame | None = None
+    ) -> DataFrame:
         """The s.cgi query-language front door: parse the boolean query
-        string (& | ~ parens "phrases", functions/queryparse), probe the
-        stored index for EXACTLY the query's terms (bucket-pruned scan),
-        evaluate the AST → (doc, score). One parse feeds both this and the
-        DuckDB oracle generator, so the language's semantics are
-        value-hash-checked end to end (driver q55)."""
+        string (& | ~ parens "phrases" site:host link:url,
+        functions/queryparse), probe the stored index for EXACTLY the
+        query's terms (bucket-pruned scan), evaluate the AST →
+        (doc, score). `site:` resolves against the stored-text table's host
+        column (lazy — the scan only runs if the query uses it); `link:`
+        needs the crawl's link graph passed as ``links_to`` (doc, target).
+        One parse feeds both this and the DuckDB oracle generator, so the
+        language's semantics are value-hash-checked end to end (q55/q56)."""
         from ..functions.queryparse import parse_query, query_terms
 
         ast = parse_query(q)
-        return eval_query(self.probe(query_terms(ast)), ast)
+        site_of = self.spark.read.parquet(self.meta_path).select(
+            F.col("doc_id").alias("doc"), F.col("host").alias("site")
+        )
+        return eval_query(
+            self.probe(query_terms(ast)), ast,
+            site_of=site_of, links_to=links_to,
+        )
 
     def search_zone_ranked(
         self, terms: list[str], title_weight: int = 8, k: int = 10

@@ -10,15 +10,18 @@ from pyspark.sql import functions as F
 
 from aspseek_spark.functions.queryparse import (
     And,
+    Link,
     Not,
     Or,
     Phrase,
     QuerySyntaxError,
+    Site,
     Term,
     parse_query,
     query_terms,
 )
 from aspseek_spark.operators.postings import (
+    blend_popularity,
     build_postings,
     docs_with_all,
     docs_without,
@@ -47,6 +50,21 @@ def test_parser_precedence_and_forms():
     assert query_terms(
         parse_query('("x y" | z) & ~w')
     ) == ["x", "y", "z", "w"]
+
+
+def test_parser_site_link_modifiers():
+    assert parse_query("site:h0.test") == Site("h0.test")
+    assert parse_query("spark site:h0.test") == And(
+        Term("spark"), Site("h0.test")
+    )
+    assert parse_query("link:http://h.test/p1 & spark") == And(
+        Link("http://h.test/p1"), Term("spark")
+    )
+    # modifiers probe meta/links, not postings
+    assert query_terms(parse_query("spark & site:h0.test")) == ["spark"]
+    for bad in ("site:", "link:"):
+        with pytest.raises(QuerySyntaxError):
+            parse_query(bad)
 
 
 def test_parser_errors():
@@ -162,6 +180,92 @@ def test_eval_matches_duckdb_oracle(spark, qdocs, qpost):
         assert got == want, q
 
 
+def test_eval_site_and_link_filters(spark, qdocs, qpost):
+    # docs 1-3 on site a.test, 4-6 on b.test
+    site_of = spark.createDataFrame(
+        [(i, "a.test" if i <= 3 else "b.test") for i in range(1, 7)],
+        "doc long, site string",
+    )
+    # link graph: docs 1 and 5 link to u1; doc 2 links to u2
+    links_to = spark.createDataFrame(
+        [(1, "http://t.test/u1"), (5, "http://t.test/u1"),
+         (2, "http://t.test/u2"), (5, "http://t.test/u1")],
+        "doc long, target string",
+    )
+    # site filter restricts, text score unchanged (+0)
+    got = _rows(
+        eval_query(qpost, parse_query("spark site:a.test"), site_of=site_of)
+    )
+    base = dict(_rows(eval_query(qpost, parse_query("spark"))))
+    assert got == {(d, s) for d, s in base.items() if d <= 3}
+    # pure site query: every doc of the site, score 0
+    assert _rows(
+        eval_query(qpost, parse_query("site:b.test"), site_of=site_of)
+    ) == {(4, 0), (5, 0), (6, 0)}
+    # link filter (deduped), composes with terms
+    got = _rows(
+        eval_query(
+            qpost,
+            parse_query("link:http://t.test/u1 & spark"),
+            links_to=links_to,
+        )
+    )
+    assert got == {(1, base[1])}
+    # missing tables raise
+    with pytest.raises(ValueError):
+        eval_query(qpost, parse_query("site:a.test"))
+    with pytest.raises(ValueError):
+        eval_query(qpost, parse_query("link:x"))
+
+
+def test_site_filter_matches_duckdb_oracle(spark):
+    import duckdb
+
+    rows = [
+        (1, "src0", "spark data table"),
+        (2, "src0", "spark spark query"),
+        (3, "src1", "spark data"),
+        (4, "src1", "table query data"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    post = build_postings(docs, "doc_id", "text")
+    site_of = docs.select(
+        F.col("doc_id").alias("doc"), F.col("source").alias("site")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {s!r}, {t!r})" for i, s, t in rows)
+        + ") v(doc_id, source, text)"
+    )
+    for q in ("spark & site:src0", "site:src1", "(spark | table) site:src1"):
+        ast = parse_query(q)
+        got = _rows(eval_query(post, ast, site_of=site_of))
+        want = set(
+            con.execute(query_oracle_sql(ast, site_col="source")).fetchall()
+        )
+        assert got == want, q
+
+
+def test_blend_popularity(spark, qpost):
+    """Reference search-time popularity weighting: score_pop = round(score
+    · (1 + α·rank), 6); unranked docs keep the text score."""
+    scored = eval_query(qpost, parse_query("spark | data"))
+    base = dict(_rows(scored))
+    ranks = spark.createDataFrame(
+        [(1, 0.5), (2, 0.25)], "doc long, rank double"
+    )
+    got = {
+        r["doc"]: r["score_pop"]
+        for r in blend_popularity(scored, ranks, alpha=2.0).collect()
+    }
+    assert got[1] == round(base[1] * (1 + 2.0 * 0.5), 6)
+    assert got[2] == round(base[2] * (1 + 2.0 * 0.25), 6)
+    for d in base:
+        if d not in (1, 2):
+            assert got[d] == float(base[d])  # rank 0 → unchanged
+
+
 def test_search_job_query_language(spark, qdocs, tmp_path_factory):
     """SearchJob.search_query (stored, bucket-pruned index) returns the
     inline eval_query answer for every parity query."""
@@ -189,3 +293,8 @@ def test_search_job_query_language(spark, qdocs, tmp_path_factory):
     r1 = job.search_cached("query", "spark&data")
     r2 = job.search_cached("query", "spark  &  data")
     assert r2 is r1
+    # site: resolves against the stored-text table's host column
+    assert _rows(job.search_query("spark & site:h.test")) == _rows(
+        eval_query(qpost_inline, parse_query("spark"))
+    )
+    assert _rows(job.search_query("spark & site:other.test")) == set()
