@@ -256,8 +256,19 @@ def test_postings_bucketed_write_and_compact(spark, tmp_path):
     out = str(tmp_path / "merged")
     compact_postings(spark, main, delta, out, n_buckets=4)
     merged = spark.read.parquet(out)
-    a0 = merged.filter("doc = 0 and word = 'a'").collect()[0]
-    assert a0["tf"] == 3  # 2 from main + 1 from delta
+    # REPLACE semantics (round 4): doc 0 was re-crawled, so its postings
+    # are the delta's alone — 'a' tf 1, old 'b' gone, new 'd' present
+    d0 = {
+        r["word"]: r["tf"]
+        for r in merged.filter("doc = 0").collect()
+    }
+    assert d0 == {"a": 1, "d": 1}
+    # untouched doc 1 carries over intact
+    d1 = {
+        r["word"]: r["tf"]
+        for r in merged.filter("doc = 1").collect()
+    }
+    assert d1 == {"b": 1, "c": 1}
 
 
 def test_bucketed_postings_probe_prunes_partitions(spark, tmp_path):
