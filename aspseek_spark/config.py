@@ -40,6 +40,12 @@ class CrawlConfig:
     # --- reference-semantics knobs (BASELINE.json:6) ---
     max_hops: int = 3  # MaxHops: outlinks deeper than this are dropped
     delta_time_s: int = 2  # DeltaTime: spacing between fetches on one host
+    # robots.txt Crawl-delay (de-facto politeness extension): when honored,
+    # a host's advertised delay overrides delta_time_s for ITS fetch
+    # spacing, capped (hostile robots.txt can claim hours). Engine and
+    # oracle share parse_robots_full and this exact precedence.
+    honor_crawl_delay: bool = True
+    crawl_delay_cap_s: int = 300
     period_s: int = 7 * 24 * 3600  # Period: revisit interval after a fetch
     host_budget: int = 8  # max URLs fetched per host per round
     max_doc_size: int = 256 * 1024  # MaxDocSize: body bytes cap before parse

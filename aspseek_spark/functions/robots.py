@@ -23,16 +23,25 @@ from __future__ import annotations
 Rule = tuple[bool, str]
 
 
-def parse_robots(body: bytes, user_agent: str) -> list[Rule]:
-    """Parse a robots.txt body into the rule list for ``user_agent``."""
+def parse_robots_full(
+    body: bytes, user_agent: str
+) -> tuple[list[Rule], int | None]:
+    """Parse a robots.txt body → (rules, crawl_delay seconds) for
+    ``user_agent``. Crawl-delay (the de-facto politeness extension many
+    robots.txt files carry) belongs to the SAME group-selection rule as the
+    allow/disallow rules: the chosen group's delay applies, floored to
+    whole seconds (so all downstream sched arithmetic stays integer —
+    zero float-parity risk engine↔oracle); absent, negative or garbage
+    values → None (the crawler's configured DeltaTime applies)."""
     if body is None:
-        return []
+        return [], None
     text = body.decode("utf-8", errors="replace")
     ua_lower = user_agent.lower()
 
-    groups: list[tuple[list[str], list[Rule]]] = []
+    groups: list[tuple[list[str], list[Rule], list[int]]] = []
     cur_agents: list[str] = []
     cur_rules: list[Rule] = []
+    cur_delay: list[int] = []  # first valid Crawl-delay in the group wins
     in_agents = True  # consecutive User-agent lines share one group
     for line in text.splitlines():
         line = line.split("#", 1)[0].strip()
@@ -43,31 +52,48 @@ def parse_robots(body: bytes, user_agent: str) -> list[Rule]:
         val = val.strip()
         if key == "user-agent":
             if not in_agents:
-                groups.append((cur_agents, cur_rules))
-                cur_agents, cur_rules = [], []
+                groups.append((cur_agents, cur_rules, cur_delay))
+                cur_agents, cur_rules, cur_delay = [], [], []
                 in_agents = True
             cur_agents.append(val.lower())
         elif key in ("allow", "disallow"):
             in_agents = False
             cur_rules.append((key == "allow", val))
-        # crawl-delay / sitemap ignored (DeltaTime comes from CrawlConfig)
-    if cur_agents or cur_rules:
-        groups.append((cur_agents, cur_rules))
+        elif key == "crawl-delay":
+            in_agents = False
+            try:
+                d = int(float(val))
+            except ValueError:
+                continue
+            if d >= 0 and not cur_delay:
+                cur_delay.append(d)
+        # sitemap ignored
+    if cur_agents or cur_rules or cur_delay:
+        groups.append((cur_agents, cur_rules, cur_delay))
 
-    best: list[Rule] | None = None
+    best: tuple[list[Rule], list[int]] | None = None
     best_len = -1
-    star: list[Rule] | None = None
-    for agents, rules in groups:
+    star: tuple[list[Rule], list[int]] | None = None
+    for agents, rules, delay in groups:
         for a in agents:
             if a == "*":
                 if star is None:
-                    star = rules
+                    star = (rules, delay)
             elif a in ua_lower and len(a) > best_len:
-                best, best_len = rules, len(a)
-    chosen = best if best is not None else (star if star is not None else [])
+                best, best_len = (rules, delay), len(a)
+    chosen = best if best is not None else (star if star is not None else ([], []))
+    rules, delay = chosen
     # empty-value Disallow = allow all → drop it (it can never match a path
     # more specifically than any other rule, and alone it means "no rules")
-    return [(allow, path) for allow, path in chosen if path != ""]
+    return (
+        [(allow, path) for allow, path in rules if path != ""],
+        delay[0] if delay else None,
+    )
+
+
+def parse_robots(body: bytes, user_agent: str) -> list[Rule]:
+    """Parse a robots.txt body into the rule list for ``user_agent``."""
+    return parse_robots_full(body, user_agent)[0]
 
 
 def robots_allowed(rules: list[Rule] | None, path: str) -> bool:

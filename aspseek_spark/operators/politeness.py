@@ -121,16 +121,33 @@ def schedule_round_split(
     )
     persisted.append(stage2)
 
+    # DeltaTime spacing: a host advertising a robots.txt Crawl-delay (the
+    # `crawl_delay` column rides in from robots_allow_filter) overrides the
+    # configured delta for ITS fetches, capped; others keep delta_time_s.
+    # Integer arithmetic end to end — oracle parity is exact.
+    if "crawl_delay" in due.columns and config.honor_crawl_delay:
+        # NB: F.least SKIPS nulls (least(NULL, cap) = cap), so the cap must
+        # only apply when the host actually advertised a delay
+        delay = F.when(
+            F.col("crawl_delay").isNotNull(),
+            F.least(F.col("crawl_delay"), F.lit(config.crawl_delay_cap_s)),
+        ).otherwise(F.lit(config.delta_time_s)).cast("long")
+    else:
+        delay = F.lit(config.delta_time_s).cast("long")
+    drop_extra = ["crawl_delay"] if "crawl_delay" in due.columns else []
     scheduled = stage2.filter(F.col("seq_in_host") <= b).withColumn(
         "sched_unix",
-        F.lit(round_ts)
-        + (F.col("seq_in_host") - F.lit(1)) * F.lit(config.delta_time_s),
-    )
-    leftover = stage1.filter(F.col("_rn1") > b).drop("_salt", "_rn1").unionByName(
-        stage2.filter(F.col("seq_in_host") > b).drop("seq_in_host")
+        F.lit(round_ts) + (F.col("seq_in_host") - F.lit(1)) * delay,
+    ).drop(*drop_extra)
+    leftover = stage1.filter(F.col("_rn1") > b).drop(
+        "_salt", "_rn1", *drop_extra
+    ).unionByName(
+        stage2.filter(F.col("seq_in_host") > b).drop(
+            "seq_in_host", *drop_extra
+        )
     )
     if cap_leftover is not None:
-        leftover = leftover.unionByName(cap_leftover)
+        leftover = leftover.unionByName(cap_leftover.drop(*drop_extra))
     return scheduled, leftover, persisted
 
 

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.robots import parse_robots, path_of, robots_allowed
+from ..functions.robots import parse_robots_full, path_of, robots_allowed
 
 RULES_TYPE = T.ArrayType(
     T.StructType(
@@ -33,10 +33,17 @@ RULES_TYPE = T.ArrayType(
         ]
     )
 )
+PARSED_TYPE = T.StructType(
+    [
+        T.StructField("rules", RULES_TYPE),
+        T.StructField("crawl_delay", T.IntegerType()),
+    ]
+)
 ROBOTS_SCHEMA = T.StructType(
     [
         T.StructField("host", T.StringType()),
         T.StructField("rules", RULES_TYPE),
+        T.StructField("crawl_delay", T.IntegerType()),
         T.StructField("status", T.IntegerType()),
         T.StructField("fetched_unix", T.LongType()),
     ]
@@ -82,24 +89,35 @@ def fetch_missing_robots(
     missing = due_hosts.join(F.broadcast(cached), on="host", how="left_anti")
     fetched = missing.join(robots_src, on="host", how="left")
 
-    @F.pandas_udf(RULES_TYPE)
-    def parse_udf(bodies: pd.Series) -> pd.Series:
-        return bodies.map(
-            lambda b: [
-                {"allow": a, "path": p}
-                for a, p in parse_robots(bytes(b), user_agent)
-            ]
-            if b is not None
-            else [],
-        )
+    @F.pandas_udf(PARSED_TYPE)
+    def parse_udf(bodies: pd.Series) -> pd.DataFrame:
+        rules_out, delay_out = [], []
+        for b in bodies:
+            if b is None:
+                rules_out.append([])
+                delay_out.append(None)
+                continue
+            rules, delay = parse_robots_full(bytes(b), user_agent)
+            rules_out.append(
+                [{"allow": a, "path": p} for a, p in rules]
+            )
+            delay_out.append(delay)
+        return pd.DataFrame({"rules": rules_out, "crawl_delay": delay_out})
 
-    return fetched.select(
+    parsed = fetched.select(
         "host",
-        parse_udf(F.col("body")).alias("rules"),
+        parse_udf(F.col("body")).alias("_p"),
         F.when(F.col("body").isNotNull(), F.lit(200))
         .otherwise(F.lit(404))
         .alias("status"),
         F.lit(round_ts).cast("long").alias("fetched_unix"),
+    )
+    return parsed.select(
+        "host",
+        F.col("_p.rules").alias("rules"),
+        F.col("_p.crawl_delay").alias("crawl_delay"),
+        "status",
+        "fetched_unix",
     )
 
 
@@ -120,18 +138,20 @@ def robots_allow_filter(
     whole (round-1 verdict fix #3). broadcast_cache=False falls back to a
     plain shuffle join (AQE skew handling covers hot hosts).
     """
-    cache = robots.select("host", "rules", "fetched_unix")
+    cache = robots.select("host", "rules", "crawl_delay", "fetched_unix")
     if due_hosts is not None:
         cache = cache.join(F.broadcast(due_hosts), on="host", how="left_semi")
     if dedup_generations:
         # TTL re-fetches APPEND a new generation per host; the newest rules
-        # win. The dedup runs on the due-host slice (bounded per round),
-        # never on the full cache. fetched_unix is strictly increasing per
-        # host (one fetch per host per round), so max_by is deterministic.
-        # Callers with a TTL-free cache (at most one row per host by
-        # construction) skip this and save the aggregation exchange.
+        # (and Crawl-delay) win. The dedup runs on the due-host slice
+        # (bounded per round), never on the full cache. fetched_unix is
+        # strictly increasing per host (one fetch per host per round), so
+        # max_by is deterministic. Callers with a TTL-free cache (at most
+        # one row per host by construction) skip this and save the
+        # aggregation exchange.
         cache = cache.groupBy("host").agg(
-            F.max_by("rules", "fetched_unix").alias("rules")
+            F.max_by("rules", "fetched_unix").alias("rules"),
+            F.max_by("crawl_delay", "fetched_unix").alias("crawl_delay"),
         )
     else:
         cache = cache.drop("fetched_unix")

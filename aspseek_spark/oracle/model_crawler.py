@@ -19,7 +19,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from ..config import CrawlConfig
-from ..functions.robots import parse_robots, path_of, robots_allowed
+from ..functions.robots import parse_robots_full, path_of, robots_allowed
 from ..functions.textextract import (
     charset_from_content_type,
     extract1,
@@ -90,7 +90,10 @@ def crawl(
     seen: set[str] = set()
     # host → (rules, fetched_unix): SRC3 cache with optional TTL
     # (config.robots_period_s) — newest generation wins, engine parity
-    robots_cache: dict[str, tuple[list[tuple[bool, str]], int]] = {}
+    # host → (rules, fetched_ts, crawl_delay seconds or None)
+    robots_cache: dict[
+        str, tuple[list[tuple[bool, str]], int, int | None]
+    ] = {}
     fetches: list[OracleFetch] = []
 
     # round 0: seed insertion (SRC5)
@@ -118,12 +121,12 @@ def crawl(
             )
             if entry is None or stale:
                 body = robots_src.get(r.host)
-                robots_cache[r.host] = (
-                    parse_robots(body, config.user_agent)
+                rules, delay = (
+                    parse_robots_full(body, config.user_agent)
                     if body is not None
-                    else [],
-                    round_ts,
+                    else ([], None)
                 )
+                robots_cache[r.host] = (rules, round_ts, delay)
 
         # robots filter (F4): denied rows leave the frontier permanently
         allowed: list[FrontierRow] = []
@@ -151,7 +154,15 @@ def crawl(
         # 302 → 200-parse.
         candidates: dict[str, int] = {}  # url_canon -> min depth
         for r, rank in scheduled:
-            sched_unix = round_ts + (rank - 1) * config.delta_time_s
+            # DeltaTime spacing: robots Crawl-delay (capped) overrides the
+            # configured delta for its host — engine parity via the shared
+            # parse_robots_full + identical precedence (politeness.py)
+            delay = config.delta_time_s
+            if getattr(config, "honor_crawl_delay", True):
+                cd = robots_cache[r.host][2]
+                if cd is not None:
+                    delay = min(cd, config.crawl_delay_cap_s)
+            sched_unix = round_ts + (rank - 1) * delay
             page = pages.get(r.url_canon)
             text = None
             status = 404
