@@ -9,7 +9,7 @@ Grammar (precedence low → high):
     and     := unary ( ('&' | ε) unary )*      # adjacency = implicit AND
     unary   := '~' unary | atom
     atom    := '(' query ')' | '"' word+ '"' | 'site:' host
-             | 'link:' url | word
+             | 'link:' url | 'after:' unixts | word
 
 Words lowercase at parse time (the postings are lowercase). The parser is
 pure Python and produces a tiny AST the Spark evaluator
@@ -55,6 +55,13 @@ class Link:
 
 
 @dataclass(frozen=True)
+class After:
+    """`after:unixts` modifier — docs fetched at/after the timestamp
+    (s.cgi date-limit analog; absolute so the query is deterministic)."""
+    ts: int
+
+
+@dataclass(frozen=True)
 class Phrase:
     words: tuple[str, ...]
 
@@ -76,7 +83,7 @@ class Not:
     child: "Node"
 
 
-Node = Term | Phrase | And | Or | Not | Site | Link
+Node = Term | Phrase | And | Or | Not | Site | Link | After
 
 _TOKEN_RE = re.compile(r'\s*(?:(\()|(\))|(&)|(\|)|(~)|("([^"]*)")|([^\s()&|~"]+))')
 
@@ -180,6 +187,13 @@ class _Parser:
                 if not w[5:]:
                     raise QuerySyntaxError("empty link: filter")
                 return Link(w[5:])
+            if w.startswith("after:"):
+                try:
+                    return After(int(w[6:]))
+                except ValueError:
+                    raise QuerySyntaxError(
+                        f"after: needs a unix timestamp, got {w[6:]!r}"
+                    ) from None
             return Term(w)
         raise QuerySyntaxError(f"expected a term, got {p!r}")
 
@@ -205,7 +219,7 @@ def query_terms(node: Node) -> list[str]:
             for w in n.words:
                 if w not in out:
                     out.append(w)
-        elif isinstance(n, (Site, Link)):
+        elif isinstance(n, (Site, Link, After)):
             pass  # filter atoms probe meta/links tables, not postings
         elif isinstance(n, Not):
             walk(n.child)

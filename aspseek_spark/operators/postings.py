@@ -159,6 +159,7 @@ def eval_query(
     node,
     site_of: DataFrame | None = None,
     links_to: DataFrame | None = None,
+    fetched_at: DataFrame | None = None,
 ) -> DataFrame:
     """Evaluate a parsed search query (functions/queryparse AST) against a
     postings DataFrame → (doc, score). The boolean operators map to the
@@ -171,8 +172,18 @@ def eval_query(
     Modifier atoms (score-neutral filter sets, scored 0 so AND passes the
     text score through): `site:` needs ``site_of`` (doc, site); `link:`
     needs ``links_to`` (doc, target) — the crawl's link graph keyed by the
-    LINKING doc."""
-    from ..functions.queryparse import And, Link, Not, Or, Phrase, Site, Term
+    LINKING doc; `after:` needs ``fetched_at`` (doc, fetched_unix) — the
+    s.cgi date-limit analog over the latest fetch time."""
+    from ..functions.queryparse import (
+        After,
+        And,
+        Link,
+        Not,
+        Or,
+        Phrase,
+        Site,
+        Term,
+    )
 
     def walk(n):
         if isinstance(n, Term):
@@ -195,6 +206,12 @@ def eval_query(
             ).select("doc").distinct().withColumn(
                 "score", F.lit(0).cast("long")
             )
+        if isinstance(n, After):
+            if fetched_at is None:
+                raise ValueError("after: filter needs the fetched_at table")
+            return "pos", fetched_at.filter(
+                F.col("fetched_unix") >= F.lit(n.ts)
+            ).select("doc", F.lit(0).cast("long").alias("score"))
         if isinstance(n, Not):
             if isinstance(n.child, Not):  # ~~x = x
                 return walk(n.child.child)
@@ -240,14 +257,25 @@ def query_oracle_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
     site_col: str | None = None,
+    time_col: str | None = None,
 ) -> str:
     """DuckDB SQL for the exact eval_query semantics, generated from the
     SAME AST — one parse, two backends (the excerpt_oracle_sql pattern), so
     the driver's value-hash gate covers the full query language. Returns a
     complete SELECT yielding (doc_id, score). ``site_col`` names the
-    table's site column for `site:` atoms (link: atoms are engine-side
-    only — the driver tables carry no link graph)."""
-    from ..functions.queryparse import And, Link, Not, Or, Phrase, Site, Term
+    table's site column for `site:` atoms and ``time_col`` its timestamp
+    column for `after:` atoms (link: atoms are engine-side only — the
+    driver tables carry no link graph)."""
+    from ..functions.queryparse import (
+        After,
+        And,
+        Link,
+        Not,
+        Or,
+        Phrase,
+        Site,
+        Term,
+    )
 
     def walk(n) -> tuple[str, str]:
         if isinstance(n, Term):
@@ -264,6 +292,13 @@ def query_oracle_sql(
             )
         if isinstance(n, Link):
             raise ValueError("link: has no oracle (no link table)")
+        if isinstance(n, After):
+            if time_col is None:
+                raise ValueError("after: oracle needs time_col")
+            return "pos", (
+                f"(SELECT {id_col} AS doc, 0::BIGINT AS score FROM {table} "
+                f"WHERE {time_col} >= {n.ts})"
+            )
         if isinstance(n, Phrase):
             conds = " AND ".join(
                 f"lower(t[i + {k}]) = '{w}'" for k, w in enumerate(n.words)

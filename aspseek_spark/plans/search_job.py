@@ -57,18 +57,30 @@ from ..operators.postings import (
 
 
 def _indexable_docs(fetched: DataFrame) -> DataFrame:
-    """fetched rows → one (doc_id, host, text) per URL: 200-status rows
-    with text, keeping the LATEST round's body (revisits re-index; 304s
-    carry no text and never reach this point). max_by is deterministic —
-    round is unique per URL (one fetch per URL per round)."""
+    """fetched rows → one (doc_id, host, text, fetched_unix) per URL:
+    200-status rows with text, keeping the LATEST round's body (revisits
+    re-index; 304s carry no text and never reach this point). max_by is
+    deterministic — round is unique per URL (one fetch per URL per round).
+    fetched_unix (the `after:` date-limit source) comes from sched_unix;
+    slim test fixtures without it fall back to the round number — a
+    monotone stamp with the same filtering semantics."""
+    stamp = (
+        F.col("sched_unix") if "sched_unix" in fetched.columns
+        else F.col("round").cast("long")
+    )
     return (
         fetched.filter((F.col("status") == 200) & F.col("text").isNotNull())
+        .withColumn("_stamp", stamp)
         .groupBy("url_hash64")
         .agg(
             F.max_by("text", "round").alias("text"),
             F.max_by("host", "round").alias("host"),
+            F.max_by("_stamp", "round").alias("fetched_unix"),
         )
-        .select(F.col("url_hash64").alias("doc_id"), "host", "text")
+        .select(
+            F.col("url_hash64").alias("doc_id"), "host", "text",
+            "fetched_unix",
+        )
     )
 
 
@@ -176,7 +188,7 @@ class SearchJob:
         )
         write_postings_bucketed(zp, self.zone_path, self.n_buckets)
         self._write_meta(
-            docs.select("doc_id", "host", "text"),
+            docs.select("doc_id", "host", "text", "fetched_unix"),
             os.path.join(self.root, f"docs_meta_v{nxt}"),
         )
         self._flip_to(nxt)
@@ -233,14 +245,14 @@ class SearchJob:
         # doc_buckets the delta touches; untouched buckets copy through.
         gone_ids = gone.select(F.col("doc").alias("doc_id"))
         old_meta = self.spark.read.parquet(meta_src).select(
-            "doc_id", "host", "text"
+            "doc_id", "host", "text", "fetched_unix"
         )
         merged_meta = (
             old_meta.join(delta_docs.select("doc_id"), "doc_id", "left_anti")
             .join(gone_ids, "doc_id", "left_anti")
             .unionByName(
                 delta_docs.join(gone_ids, "doc_id", "left_anti").select(
-                    "doc_id", "host", "text"
+                    "doc_id", "host", "text", "fetched_unix"
                 )
             )
         )
@@ -349,12 +361,16 @@ class SearchJob:
         from ..functions.queryparse import parse_query, query_terms
 
         ast = parse_query(q)
-        site_of = self.spark.read.parquet(self.meta_path).select(
+        meta = self.spark.read.parquet(self.meta_path)
+        site_of = meta.select(
             F.col("doc_id").alias("doc"), F.col("host").alias("site")
+        )
+        fetched_at = meta.select(
+            F.col("doc_id").alias("doc"), "fetched_unix"
         )
         return eval_query(
             self.probe(query_terms(ast)), ast,
-            site_of=site_of, links_to=links_to,
+            site_of=site_of, links_to=links_to, fetched_at=fetched_at,
         )
 
     def search_zone_ranked(

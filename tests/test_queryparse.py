@@ -62,7 +62,12 @@ def test_parser_site_link_modifiers():
     )
     # modifiers probe meta/links, not postings
     assert query_terms(parse_query("spark & site:h0.test")) == ["spark"]
-    for bad in ("site:", "link:"):
+    from aspseek_spark.functions.queryparse import After
+
+    assert parse_query("spark after:1767225600") == And(
+        Term("spark"), After(1767225600)
+    )
+    for bad in ("site:", "link:", "after:", "after:tomorrow"):
         with pytest.raises(QuerySyntaxError):
             parse_query(bad)
 
@@ -216,6 +221,76 @@ def test_eval_site_and_link_filters(spark, qdocs, qpost):
         eval_query(qpost, parse_query("site:a.test"))
     with pytest.raises(ValueError):
         eval_query(qpost, parse_query("link:x"))
+
+
+def test_eval_after_filter(spark, qpost):
+    """`after:` date limit (s.cgi time-limit analog): score-neutral filter
+    over the docs' latest fetch time, engine + generated DuckDB oracle."""
+    import duckdb
+
+    fetched_at = spark.createDataFrame(
+        [(i, 100 + i * 10) for i in range(1, 7)], "doc long, fetched_unix long"
+    )
+    got = _rows(
+        eval_query(
+            qpost, parse_query("spark after:140"), fetched_at=fetched_at
+        )
+    )
+    base = dict(_rows(eval_query(qpost, parse_query("spark"))))
+    # docs 4..6 pass the time bar; of those, spark hits 6 only (plus 4/5 if
+    # they contain spark — compute from base)
+    assert got == {(d, s) for d, s in base.items() if 100 + d * 10 >= 140}
+    with pytest.raises(ValueError):
+        eval_query(qpost, parse_query("after:1"))
+
+    # oracle parity with time_col over an inline table
+    rows = [(1, 100, "spark x"), (2, 150, "spark y"), (3, 200, "z")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, fts long, text string"
+    )
+    post = build_postings(docs, "doc_id", "text")
+    fa = docs.select(F.col("doc_id").alias("doc"), F.col("fts").alias("fetched_unix"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {t}, {x!r})" for i, t, x in rows)
+        + ") v(doc_id, fts, text)"
+    )
+    ast = parse_query("spark after:150")
+    got = _rows(eval_query(post, ast, fetched_at=fa))
+    want = set(
+        con.execute(query_oracle_sql(ast, time_col="fts")).fetchall()
+    )
+    assert got == want == {(2, 1)}
+
+
+def test_search_job_after_filter(spark, tmp_path_factory):
+    """SearchJob serves after: from the stored-text table's fetch stamp;
+    a merge refreshes the stamp (revisited doc passes a later bar)."""
+    from aspseek_spark.plans.search_job import SearchJob
+
+    rows = [
+        (1, f"http://h.test/p{i}", i, "h.test", 1, 200, "spark data", 1000 + i)
+        for i in range(4)
+    ]
+    fetched = spark.createDataFrame(
+        rows,
+        "round int, url_canon string, url_hash64 long, host string, "
+        "depth int, status int, text string, sched_unix long",
+    )
+    job = SearchJob(
+        spark, str(tmp_path_factory.mktemp("after_idx")), n_buckets=4
+    )
+    job.build_from_fetched(fetched)
+    assert {r["doc"] for r in job.search_query("spark after:1002").collect()} == {2, 3}
+    # revisit doc 0 later: it now passes the bar
+    delta = spark.createDataFrame(
+        [(2, "http://h.test/p0", 0, "h.test", 1, 200, "spark fresh", 2000)],
+        "round int, url_canon string, url_hash64 long, host string, "
+        "depth int, status int, text string, sched_unix long",
+    )
+    job.merge_delta(delta)
+    assert {r["doc"] for r in job.search_query("spark after:1002").collect()} == {0, 2, 3}
 
 
 def test_site_filter_matches_duckdb_oracle(spark):
