@@ -1026,18 +1026,29 @@ def _minhash_oracle() -> str:
     """
 
 
-def _neardup_clusters_oracle(n_iter: int = 4) -> str:
+def _neardup_clusters_oracle(
+    n_iter: int = 4, assert_converged: bool = False
+) -> str:
     """Mirror of _q51: the q21 verified pairs as an undirected edge list,
     then ``n_iter`` UNROLLED min-label-propagation iterations (the exact
     computation dedup.neardup_clusters(n_iter=4) runs) → one cluster id
-    (= component min doc id) per doc, kept flag on the representative."""
+    (= component min doc id) per doc, kept flag on the representative.
+
+    ``assert_converged`` (the q54 mode — its engine side is star-CC, which
+    converges to the TRUE components regardless of diameter): unroll ONE
+    extra layer and error() loudly if it still changes anything — a corpus
+    change growing a component past ``n_iter`` hops fails the gate with a
+    clear message instead of silently comparing a truncated propagation
+    against the exact engine answer (round-4 ADVICE; error() inside CASE is
+    lazily evaluated in DuckDB, verified)."""
     # every layer reads its predecessor TWICE (l and ln) — DuckDB inlines
     # plain CTEs, which would double the plan per unrolled layer (2^n_iter
     # blowup: 8 layers ran 312 s); MATERIALIZED pins each layer to one
     # evaluation, making the unroll linear
     layers = []
     prev = "l0"
-    for k in range(1, n_iter + 1):
+    n_layers = n_iter + 1 if assert_converged else n_iter
+    for k in range(1, n_layers + 1):
         layers.append(f"""
         l{k} AS MATERIALIZED (
             SELECT l.doc,
@@ -1048,6 +1059,16 @@ def _neardup_clusters_oracle(n_iter: int = 4) -> str:
             GROUP BY l.doc, l.label
         )""")
         prev = f"l{k}"
+    guard = ""
+    if assert_converged:
+        guard = f"""
+               + CASE WHEN (SELECT count(*) FROM (
+                       SELECT * FROM l{n_iter + 1}
+                       EXCEPT SELECT * FROM l{n_iter}) d) = 0
+                 THEN 0
+                 ELSE error('neardup oracle: propagation not converged at '
+                            || '{n_iter} layers — component diameter grew '
+                            || 'past the unroll; raise n_iter') END"""
     return f"""
         WITH {_minhash_cte_body()},
         edges AS MATERIALIZED (
@@ -1056,9 +1077,9 @@ def _neardup_clusters_oracle(n_iter: int = 4) -> str:
         ),
         l0 AS MATERIALIZED (SELECT doc_id AS doc, doc_id AS label FROM toks),
         {",".join(layers)}
-        SELECT doc AS doc_id, label AS cluster_id,
+        SELECT doc AS doc_id, label{guard} AS cluster_id,
                CASE WHEN doc = label THEN 1 ELSE 0 END AS kept
-        FROM {prev}
+        FROM l{n_iter}
     """
 
 
@@ -1796,7 +1817,9 @@ def oracle_sql() -> dict[str, str]:
         "q51_neardup_clusters": _neardup_clusters_oracle(4),
         "q52_ann_recall": _ann_recall_oracle(),
         "q53_search_excerpts": _excerpt_oracle(),
-        "q54_neardup_clusters_star": _neardup_clusters_oracle(8),
+        "q54_neardup_clusters_star": _neardup_clusters_oracle(
+            8, assert_converged=True
+        ),
         "q55_query_language": _query_language_oracle(),
         "q56_query_site_filter": _query_site_filter_oracle(),
         "q50_revisit_validator": """

@@ -63,10 +63,17 @@ def parse_robots_full(
             in_agents = False
             try:
                 d = int(float(val))
-            except ValueError:
+            except (ValueError, OverflowError):
+                # hostile values: 'inf'/'1e999' overflow int(), 'nan' raises
+                # ValueError — all treated as garbage (no delay), never a
+                # mid-round crash of the parse UDF or the oracle
                 continue
             if d >= 0 and not cur_delay:
-                cur_delay.append(d)
+                # clamp so the value survives the engine's IntegerType
+                # column without wrapping (Arrow safe-cast is off): both
+                # backends see the same bounded integer, and the downstream
+                # min(cd, crawl_delay_cap_s) is unaffected for sane values
+                cur_delay.append(min(d, 2**31 - 1))
         # sitemap ignored
     if cur_agents or cur_rules or cur_delay:
         groups.append((cur_agents, cur_rules, cur_delay))

@@ -251,6 +251,15 @@ def eval_query(
     return df
 
 
+def _sq(s: str) -> str:
+    """Escape a value for interpolation into a single-quoted SQL literal.
+    The tokenizer allows apostrophes inside words (o'brien), so every
+    Term/Phrase/Site value the oracle generators embed must double them —
+    otherwise the generated DuckDB SQL is invalid/injectable (round-4
+    ADVICE). The Spark side takes values via F.lit and needs nothing."""
+    return s.replace("'", "''")
+
+
 def query_oracle_sql(
     node,
     table: str = "documents",
@@ -281,14 +290,14 @@ def query_oracle_sql(
         if isinstance(n, Term):
             return "pos", (
                 "(SELECT doc, count(*)::BIGINT AS score FROM qtoks "
-                f"WHERE word = '{n.word}' GROUP BY doc)"
+                f"WHERE word = '{_sq(n.word)}' GROUP BY doc)"
             )
         if isinstance(n, Site):
             if site_col is None:
                 raise ValueError("site: oracle needs site_col")
             return "pos", (
                 f"(SELECT {id_col} AS doc, 0::BIGINT AS score FROM {table} "
-                f"WHERE {site_col} = '{n.host}')"
+                f"WHERE {site_col} = '{_sq(n.host)}')"
             )
         if isinstance(n, Link):
             raise ValueError("link: has no oracle (no link table)")
@@ -301,7 +310,8 @@ def query_oracle_sql(
             )
         if isinstance(n, Phrase):
             conds = " AND ".join(
-                f"lower(t[i + {k}]) = '{w}'" for k, w in enumerate(n.words)
+                f"lower(t[i + {k}]) = '{_sq(w)}'"
+                for k, w in enumerate(n.words)
             )
             return "pos", (
                 f"(SELECT {id_col} AS doc, count(*)::BIGINT AS score "
@@ -646,13 +656,15 @@ def excerpt_oracle_sql(
     def tf(t: str) -> str:
         return (
             "len(list_filter(list_transform(toks, x -> lower(x)), "
-            f"x -> x = '{t}'))"
+            f"x -> x = '{_sq(t)}'))"
         )
 
-    best = f"'{lowered[0]}'"
+    best = f"'{_sq(lowered[0])}'"
     best_tf = tf(lowered[0])
     for t in lowered[1:]:
-        best = f"CASE WHEN {tf(t)} > {best_tf} THEN '{t}' ELSE {best} END"
+        best = (
+            f"CASE WHEN {tf(t)} > {best_tf} THEN '{_sq(t)}' ELSE {best} END"
+        )
         best_tf = (
             f"CASE WHEN {tf(t)} > {best_tf} THEN {tf(t)} ELSE {best_tf} END"
         )

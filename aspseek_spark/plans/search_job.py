@@ -152,6 +152,9 @@ class SearchJob:
         with open(tmp, "w") as f:
             f.write(str(version))
         os.replace(tmp, self._ptr_path)
+        # stale qcache entries die WITH the flip, before _gc_versions can
+        # delete the directories their recompute paths would read
+        self._qcache_sweep(self._live_version())
 
     def _gc_versions(self, newest: int) -> None:
         """Drop generations older than newest-1 (keep live + previous)."""
@@ -290,6 +293,18 @@ class SearchJob:
             na = (parse_query(na[0]),) + na[1:]
         return (family, na, tuple(sorted((k, norm(v)) for k, v in kwargs.items())))
 
+    def _qcache_sweep(self, live_epoch) -> None:
+        """Unpersist + drop EVERY entry whose epoch is not the live one —
+        not just a re-accessed key (round-4 ADVICE): stale persisted
+        DataFrames otherwise pin executor memory until LRU pressure, and a
+        stale entry's cache-eviction recompute would read a generation
+        _gc_versions may already have deleted. Called on every flip
+        (build/merge) and defensively per lookup (dict-sized, no jobs)."""
+        stale = [k for k, (ep, _) in self._qcache.items() if ep != live_epoch]
+        for k in stale:
+            _, df = self._qcache.pop(k)
+            df.unpersist()
+
     def search_cached(self, family: str, *args, **kwargs) -> DataFrame:
         """Serve `search_<family>` through the qcache: a repeat of the same
         normalized query at the same index epoch returns the SAME
@@ -297,19 +312,18 @@ class SearchJob:
         re-collect is an InMemoryTableScan (plan-asserted in
         tests/test_qcache.py). Any index append/merge flips the version
         pointer, so the next lookup misses and recomputes against the new
-        index; the replaced entry is unpersisted. LRU-capped."""
+        index; ALL stale entries are swept at that point. LRU-capped."""
         key = self._normalize_query(family, args, kwargs)
         epoch = self._live_version()
+        self._qcache_sweep(epoch)
         hit = self._qcache.get(key)
-        if hit is not None and hit[0] == epoch:
+        if hit is not None:
             self._qcache.move_to_end(key)
             self.qcache_hits += 1
             return hit[1]
         self.qcache_misses += 1
         df = getattr(self, f"search_{family}")(*args, **kwargs).persist()
         df.count()  # materialize now: later repeats do no recompute
-        if hit is not None:
-            hit[1].unpersist()
         self._qcache[key] = (epoch, df)
         self._qcache.move_to_end(key)
         while len(self._qcache) > self._qcache_entries:

@@ -83,6 +83,30 @@ def test_index_append_invalidates(qjob, spark):
     assert not before.storageLevel.useMemory
 
 
+def test_version_flip_sweeps_all_stale_entries(spark, tmp_path_factory):
+    """Round-4 ADVICE: a version flip must unpersist EVERY stale entry at
+    flip time — not only a same-key re-access — so no stale persisted
+    DataFrame survives to recompute against a GC'd generation."""
+    rows = [
+        (1, f"http://h0.test/p{i}", i, "h0.test", 1, 200,
+         f"u{i} shared words here")
+        for i in range(6)
+    ]
+    job = SearchJob(
+        spark, str(tmp_path_factory.mktemp("qcache_sweep")), n_buckets=4
+    )
+    job.build_from_fetched(spark.createDataFrame(rows, FETCHED_SCHEMA))
+    cached = [job.search_cached("and", [f"u{i}"]) for i in range(4)]
+    assert all(df.storageLevel.useMemory for df in cached)
+    delta = spark.createDataFrame(
+        [(2, "http://h0.test/new", 99, "h0.test", 1, 200, "u0 flipped")],
+        FETCHED_SCHEMA,
+    )
+    job.merge_delta(delta)  # the flip itself sweeps — no lookup needed
+    assert len(job._qcache) == 0
+    assert all(not df.storageLevel.useMemory for df in cached)
+
+
 def test_lru_eviction_unpersists(spark, tmp_path_factory):
     rows = [
         (1, f"http://h0.test/p{i}", i, "h0.test", 1, 200, f"w{i} common")

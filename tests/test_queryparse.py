@@ -185,6 +185,55 @@ def test_eval_matches_duckdb_oracle(spark, qdocs, qpost):
         assert got == want, q
 
 
+def test_oracle_sql_escapes_apostrophes(spark):
+    """Round-4 ADVICE: the tokenizer allows apostrophes in words, so the
+    oracle generators must escape them — `o'brien` (term, phrase, and
+    site:) must produce VALID DuckDB SQL that matches the Spark evaluator,
+    not an injectable/broken literal."""
+    import duckdb
+
+    from aspseek_spark.operators.postings import excerpt_oracle_sql
+
+    rows = [
+        (1, "o'brien wrote the d'arcy report"),
+        (2, "nothing here"),
+        (3, "the d'arcy o'brien case"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    post = build_postings(docs, "doc_id", "text")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join("({}, '{}')".format(i, t.replace("'", "''")) for i, t in rows)
+        + ") v(doc_id, text)"
+    )
+    for q in ("o'brien", "\"d'arcy o'brien\"", "o'brien & ~report",
+              "site:o'host | o'brien"):
+        ast = parse_query(q)
+        got = _rows(
+            eval_query(
+                post, ast,
+                site_of=docs.selectExpr("doc_id AS doc", "'x' AS site"),
+            )
+        )
+        want = {
+            (d, s)
+            for d, s in con.execute(
+                query_oracle_sql(ast, site_col="'x'")
+            ).fetchall()
+        }
+        assert got == want, q
+    # the excerpt generator escapes too (it interpolates sorted terms)
+    frag = excerpt_oracle_sql(["o'brien", "report"]).replace(
+        "__HITS__",
+        "(SELECT doc_id, text FROM documents WHERE doc_id = 1)",
+    )
+    out = con.execute(
+        f"SELECT best_term, excerpt FROM ({frag})"
+    ).fetchall()
+    assert out[0][0] == "o'brien"
+
+
 def test_eval_site_and_link_filters(spark, qdocs, qpost):
     # docs 1-3 on site a.test, 4-6 on b.test
     site_of = spark.createDataFrame(

@@ -122,6 +122,27 @@ def test_parse_robots_full_crawl_delay():
     assert parse_robots_full(body3, "b-bot") == ([(False, "/z/")], None)
 
 
+def test_parse_robots_hostile_crawl_delay_values():
+    """Round-4 ADVICE: 'inf'/'1e999' overflow int(float(...)), 'nan' raises
+    ValueError — none may crash the parse (engine pandas-UDF or oracle);
+    finite values past 2^31-1 clamp so the engine's IntegerType robots
+    column cannot wrap (sched parity engine↔oracle on hostile input)."""
+    from aspseek_spark.functions.robots import parse_robots_full
+
+    for bad in (b"inf", b"-inf", b"1e999", b"nan", b"-1e999"):
+        body = b"User-agent: *\nCrawl-delay: " + bad + b"\nDisallow: /x/\n"
+        rules, delay = parse_robots_full(body, "x")
+        assert rules == [(False, "/x/")]
+        assert delay is None, bad
+    # finite-but-huge clamps to 2^31-1 (still capped downstream by
+    # config.crawl_delay_cap_s before any sched arithmetic)
+    body = b"User-agent: *\nCrawl-delay: 9999999999\n"
+    assert parse_robots_full(body, "x")[1] == 2**31 - 1
+    # first VALID value still wins after hostile lines
+    body2 = b"User-agent: *\nCrawl-delay: inf\nCrawl-delay: 6\n"
+    assert parse_robots_full(body2, "x")[1] == 6
+
+
 def test_crawl_delay_spacing_crawl_parity(
     spark, tiny_web, test_config, tmp_path_factory
 ):
