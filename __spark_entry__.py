@@ -864,24 +864,87 @@ def _q56_query_site_filter(spark, sf_dir):
     return out.select(F.col("doc").alias("doc_id"), "score")
 
 
+def _q57_clone_collapsed_rank(spark, sf_dir):
+    # J5→W4 clone-group collapse in search output (round-4 verdict next-
+    # round #6): the reference groups mirror/clone docs in results — here
+    # an OR query's ranked hits keep only the best doc per content digest
+    # (md5 of the text, the crawl's content_md5 analog), deterministic
+    # top-20. SearchJob serves the same rule off the stored index via
+    # search_ranked(one_per_clone=True) (tests/test_search_job.py parity).
+    from aspseek_spark.operators.postings import (
+        build_postings,
+        docs_with_any,
+        rank_results,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    terms = ["table", "data"]
+    scored = docs_with_any(
+        build_postings(d.select("doc_id", "text")), terms
+    )
+    meta = d.select(
+        F.col("doc_id").alias("doc"),
+        F.md5(F.col("text").cast("binary")).alias("content_md5"),
+    )
+    out = rank_results(
+        scored, docs_meta=meta, clone_col="content_md5", page_size=20
+    )
+    return out.select(
+        F.col("doc").alias("doc_id"), "score", "content_md5"
+    )
+
+
+# q58's query string — one constant, two backends (the q55/q56 pattern);
+# binds the `after:` date-limit atom to a deterministic per-doc fetch stamp
+# (doc_id·100 — the driver tables carry no fetch time, so the stamp is a
+# pure function both backends compute identically).
+Q58_QUERY = "(data | table) & after:25000"
+
+
+def _q58_query_after_filter(spark, sf_dir):
+    # s.cgi date-limit modifier (`after:` atom, round-4 verdict next-round
+    # #8): score-neutral time filter AND'd into the boolean plan —
+    # SearchJob serves the same atom from the stored-text table's
+    # fetched_unix (tests/test_queryparse.py::test_search_job_after_filter)
+    from aspseek_spark.functions.queryparse import parse_query
+    from aspseek_spark.operators.postings import build_postings, eval_query
+
+    d = _t(spark, sf_dir, "documents")
+    ast = parse_query(Q58_QUERY)
+    out = eval_query(
+        build_postings(d.select("doc_id", "text")),
+        ast,
+        fetched_at=d.select(
+            F.col("doc_id").alias("doc"),
+            (F.col("doc_id") * 100).cast("long").alias("fetched_unix"),
+        ),
+    )
+    return out.select(F.col("doc").alias("doc_id"), "score")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING NOTE (round-4 verdict "What's wrong" #3 / next-round #5):
+    # the driver's CORRECTNESS gate checks the FIRST 50 entries of this
+    # dict (r03 and r04 each recorded exactly 50 rows while more existed).
+    # The dict is therefore ordered so every query added since round 3 —
+    # q51…q58, the never-driver-checked ones — sits INSIDE the first 50;
+    # eight long-green trivial entries (q03 q04 q11 q16 q24 q32 q33 q42,
+    # all simple scan/agg shapes driver-verified since round 1) are rotated
+    # to the tail. They remain here and in oracle_sql(), so the LOCAL gate
+    # (scripts/check_entry.py) still verifies all 58.
     return {
         "q01_pricing_summary": _q01_pricing_summary,
         "q02_top_revenue_customers": _q02_top_revenue_customers,
-        "q03_order_priority": _q03_order_priority,
-        "q04_region_customers": _q04_region_customers,
         "q05_top_orders_per_customer": _q05_top_orders_per_customer,
         "q06_customers_without_orders": _q06_customers_without_orders,
         "q07_exact_dedup_docs": _q07_exact_dedup_docs,
         "q08_politeness_budget_events": _q08_politeness_budget_events,
         "q09_events_hourly": _q09_events_hourly,
         "q10_status_cube": _q10_status_cube,
-        "q11_union_distinct": _q11_union_distinct,
         "q12_semi_join_parts": _q12_semi_join_parts,
         "q13_first_event_per_user": _q13_first_event_per_user,
         "q14_clone_groups": _q14_clone_groups,
         "q15_token_stats": _q15_token_stats,
-        "q16_lang_distribution": _q16_lang_distribution,
         "q17_quality_flags": _q17_quality_flags,
         "q18_stopword_ratio": _q18_stopword_ratio,
         "q19_doc_fingerprint": _q19_doc_fingerprint,
@@ -889,7 +952,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_minhash_pairs": _q21_minhash_pairs,
         "q22_simhash_buckets": _q22_simhash_buckets,
         "q23_ann_cosine_topk": _q23_ann_cosine_topk,
-        "q24_embedding_norms": _q24_embedding_norms,
         "q25_knn_top1": _q25_knn_top1,
         "q26_label_centroid_sim": _q26_label_centroid_sim,
         "q27_json_extract": _q27_json_extract,
@@ -897,8 +959,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_event_pivot": _q29_event_pivot,
         "q30_url_canonicalize": _q30_url_canonicalize,
         "q31_host_budget_agg": _q31_host_budget_agg,
-        "q32_supplier_nation": _q32_supplier_nation,
-        "q33_revenue_q6": _q33_revenue_q6,
         "q34_pagerank_suppliers": _q34_pagerank_suppliers,
         "q35_postings_and_phrase": _q35_postings_and_phrase,
         "q36_phrase_match": _q36_phrase_match,
@@ -907,7 +967,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_proximity_match": _q39_proximity_match,
         "q40_morphology_or": _q40_morphology_or,
         "q41_streaming_hourly": _q41_streaming_hourly,
-        "q42_rollup_orders": _q42_rollup_orders,
         "q43_embedding_neardup": _q43_embedding_neardup,
         "q44_ivf_ann": _q44_ivf_ann,
         "q45_lsh_ann": _q45_lsh_ann,
@@ -922,6 +981,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_neardup_clusters_star": _q54_neardup_clusters_star,
         "q55_query_language": _q55_query_language,
         "q56_query_site_filter": _q56_query_site_filter,
+        "q57_clone_collapsed_rank": _q57_clone_collapsed_rank,
+        "q58_query_after_filter": _q58_query_after_filter,
+        # --- tail: driver-verified-green since round 1, rotated past the
+        # --- 50-row driver window (still in the local gate) ---
+        "q03_order_priority": _q03_order_priority,
+        "q04_region_customers": _q04_region_customers,
+        "q11_union_distinct": _q11_union_distinct,
+        "q16_lang_distribution": _q16_lang_distribution,
+        "q24_embedding_norms": _q24_embedding_norms,
+        "q32_supplier_nation": _q32_supplier_nation,
+        "q33_revenue_q6": _q33_revenue_q6,
+        "q42_rollup_orders": _q42_rollup_orders,
     }
 
 
@@ -1128,6 +1199,15 @@ def _query_site_filter_oracle() -> str:
     from aspseek_spark.operators.postings import query_oracle_sql
 
     return query_oracle_sql(parse_query(Q56_QUERY), site_col="source")
+
+
+def _query_after_filter_oracle() -> str:
+    """Mirror of _q58: same parse, time_col bound to the deterministic
+    doc_id·100 fetch stamp both backends compute."""
+    from aspseek_spark.functions.queryparse import parse_query
+    from aspseek_spark.operators.postings import query_oracle_sql
+
+    return query_oracle_sql(parse_query(Q58_QUERY), time_col="(doc_id * 100)")
 
 
 def _simhash_oracle() -> str:
@@ -1822,6 +1902,28 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q55_query_language": _query_language_oracle(),
         "q56_query_site_filter": _query_site_filter_oracle(),
+        "q57_clone_collapsed_rank": """
+            WITH ctoks AS (
+                SELECT doc_id,
+                       lower(unnest(list_filter(string_split(text, ' '),
+                                                x -> x <> ''))) AS word
+                FROM documents
+            ), scored AS (
+                SELECT doc_id, count(*)::BIGINT AS score
+                FROM ctoks WHERE word IN ('table', 'data') GROUP BY doc_id
+            ), joined AS (
+                SELECT s.doc_id, s.score, md5(d.text) AS content_md5
+                FROM scored s JOIN documents d USING (doc_id)
+            ), collapsed AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY coalesce(content_md5, doc_id::VARCHAR)
+                    ORDER BY score DESC, doc_id ASC) AS rn
+                FROM joined
+            )
+            SELECT doc_id, score, content_md5 FROM collapsed
+            WHERE rn = 1 ORDER BY score DESC, doc_id ASC LIMIT 20
+        """,
+        "q58_query_after_filter": _query_after_filter_oracle(),
         "q50_revisit_validator": """
             -- S7 validator selection (RFC 9110 §13.1.2): If-None-Match
             -- decides alone when BOTH sides have an etag, else fall back

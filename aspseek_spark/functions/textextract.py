@@ -191,14 +191,21 @@ def extract_redirect(html: bytes) -> str | None:
     return m.group(1).decode("utf-8", errors="replace").strip() or None
 
 
-def extract_title(html: bytes) -> str:
-    """<title> zone text (reference zones: title/meta/body)."""
+def extract_title(html: bytes, header_charset: str | None = None) -> str:
+    """<title> zone text (reference zones: title/meta/body, the parser's
+    zone bits feeding the W4 title weighting). Charset handling matches
+    extract1 — header charset ≻ meta tag ≻ utf-8 — so a windows-1251 or
+    latin-1 page's title decodes the same way its body does; entity decode
+    and whitespace collapse follow the same rules. Shared by the engine's
+    parse UDF and the oracle crawler (parity by construction)."""
     if html is None:
         return ""
     m = _TITLE_RE.search(html)
     if not m:
         return ""
-    s = m.group(1).decode("utf-8", errors="replace")
+    s = m.group(1).decode(
+        sniff_charset(html, header_charset), errors="replace"
+    )
     s = _ENTITY_RE.sub(_decode_entity, s)
     return _WS_RE.sub(" ", s).strip()
 

@@ -30,12 +30,13 @@ from ..functions.textextract import (
     charset_from_content_type,
     extract_redirect,
     extract_text_and_hrefs,
+    extract_title,
 )
 from ..functions.urlnorm import resolve_href
 
 _PARSE_EXTRA = (
     "text_extracted string, outlinks array<string>, redirect_canon string, "
-    "is_redirect boolean"
+    "is_redirect boolean, title string"
 )
 
 
@@ -59,6 +60,7 @@ def parse_fetched(df: DataFrame, config: CrawlConfig) -> DataFrame:
             links: list[list[str]] = []
             redirects: list[str | None] = []
             is_redir: list[bool] = []
+            titles: list[str | None] = []
             # S7/F5 flags are precomputed JVM-side (crawl_round); absent
             # columns (operator used standalone) mean "parse everything"
             not_mod = (
@@ -83,6 +85,7 @@ def parse_fetched(df: DataFrame, config: CrawlConfig) -> DataFrame:
                     links.append([])
                     redirects.append(None)
                     is_redir.append(False)
+                    titles.append(None)
                     continue
                 body = bytes(html)[: cfg.max_doc_size]
                 target = extract_redirect(body)
@@ -98,15 +101,18 @@ def parse_fetched(df: DataFrame, config: CrawlConfig) -> DataFrame:
                     links.append([])
                     redirects.append(cu)
                     is_redir.append(True)
+                    titles.append(None)
                     continue
                 # S6: HTTP-header charset (from Content-Type) takes
                 # precedence over the page's meta tag
-                text, hrefs = extract_text_and_hrefs(
-                    body, charset_from_content_type(ct)
-                )
+                cs = charset_from_content_type(ct)
+                text, hrefs = extract_text_and_hrefs(body, cs)
                 texts.append(text)
                 redirects.append(None)
                 is_redir.append(False)
+                # W4 title zone: the REAL <title> text (same charset rules
+                # as the body) — feeds SearchJob's zone index title tf
+                titles.append(extract_title(body, cs))
                 if depth is not None and depth + 1 > cfg.max_hops:
                     links.append([])
                     continue
@@ -124,6 +130,7 @@ def parse_fetched(df: DataFrame, config: CrawlConfig) -> DataFrame:
             yield pdf.assign(
                 text_extracted=texts, outlinks=links,
                 redirect_canon=redirects, is_redirect=is_redir,
+                title=titles,
             )
 
     return df.mapInPandas(_parse, schema=out_schema)

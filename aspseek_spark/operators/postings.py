@@ -517,14 +517,20 @@ def write_postings_bucketed(
 
 
 def probe_postings_bucketed(
-    spark, path: str, terms: list[str], n_buckets: int = 64
+    spark, path: str, terms: list[str], n_buckets: int = 64,
+    schema: str | None = None,
 ) -> DataFrame:
     """Term probe against the BUCKETED postings layout: computes the terms'
     word-hash buckets driver-side and prunes the scan to those partition
     directories — the scale path for q35-style AND/OR queries (re-tokenizing
     the corpus per query is fine at sf0.1 and wrong at 100×; probing the
     stored index touches only ~len(terms)/n_buckets of it). Returns the
-    matching postings rows; feed them to docs_with_all / docs_with_any."""
+    matching postings rows; feed them to docs_with_all / docs_with_any.
+
+    ``schema`` (incl. the word_bucket partition column) makes the read
+    inference-free — required for directories that may hold ZERO part
+    files (a delete-only realtime segment writes an empty partitioned
+    parquet, which has no footer to infer from)."""
     from pyspark.sql import functions as F  # local: keep module import light
 
     lowered = [t.lower() for t in terms]
@@ -536,7 +542,8 @@ def probe_postings_bucketed(
         .collect()
     )
     buckets = sorted({r["b"] for r in rows})
-    probe = spark.read.parquet(path).filter(
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    probe = reader.parquet(path).filter(
         F.col("word_bucket").isin(buckets) & F.col("word").isin(lowered)
     )
     return probe.drop("word_bucket")
@@ -722,18 +729,36 @@ def rank_results(
     scored: DataFrame,
     docs_meta: DataFrame | None = None,
     site_col: str | None = None,
+    clone_col: str | None = None,
     page: int = 0,
     page_size: int = 10,
 ) -> DataFrame:
     """W4: order by score desc (tie-break doc asc), optional one-best-per-
-    site grouping (J9), deterministic paging."""
+    site grouping (J9) and/or clone-group collapse (J5 at serve time — the
+    reference groups mirror/clone docs in search output, keyed here by the
+    crawl's content digest; a NULL digest keeps the doc its own group), and
+    deterministic paging. Both groupings are the same row_number pattern —
+    one shuffle each on a page-bound input."""
     df = scored
-    if docs_meta is not None and site_col is not None:
+    if docs_meta is not None and (site_col or clone_col):
         df = df.join(docs_meta, "doc")
-        w = Window.partitionBy(site_col).orderBy(F.desc("score"), F.asc("doc"))
-        df = df.withColumn("_rn", F.row_number().over(w)).filter(
-            F.col("_rn") == 1
-        ).drop("_rn")
+        if clone_col is not None:
+            key = F.coalesce(
+                F.col(clone_col).cast("string"), F.col("doc").cast("string")
+            )
+            w = Window.partitionBy(key).orderBy(
+                F.desc("score"), F.asc("doc")
+            )
+            df = df.withColumn("_rn", F.row_number().over(w)).filter(
+                F.col("_rn") == 1
+            ).drop("_rn")
+        if site_col is not None:
+            w = Window.partitionBy(site_col).orderBy(
+                F.desc("score"), F.asc("doc")
+            )
+            df = df.withColumn("_rn", F.row_number().over(w)).filter(
+                F.col("_rn") == 1
+            ).drop("_rn")
     return (
         df.orderBy(F.desc("score"), F.asc("doc"))
         .limit((page + 1) * page_size)

@@ -25,6 +25,7 @@ from ..functions.textextract import (
     extract1,
     extract_hrefs,
     extract_redirect,
+    extract_title,
     media_type_of,
 )
 from ..functions.urlnorm import host_of, resolve_href
@@ -39,6 +40,10 @@ class OracleFetch:
     url_canon: str
     status: int
     text: str
+    # W4 title zone: <title> text of 200-parsed pages (same charset rules
+    # as the body); None for 404/304/302/MIME-filtered rows — engine parity
+    # via the shared extract_title
+    title: str | None = None
 
 
 @dataclass
@@ -165,6 +170,7 @@ def crawl(
             sched_unix = round_ts + (rank - 1) * delay
             page = pages.get(r.url_canon)
             text = None
+            title = None
             status = 404
             new_last_fetch: int | None = sched_unix
             new_last_etag: str | None = None
@@ -211,7 +217,9 @@ def crawl(
                                 candidates[cu] = d
                     else:
                         # S6: header charset precedence, same as engine
-                        text = extract1(body, charset_from_content_type(ctype))
+                        cs = charset_from_content_type(ctype)
+                        text = extract1(body, cs)
+                        title = extract_title(body, cs)
                         if r.depth + 1 <= config.max_hops:
                             for href in extract_hrefs(body):
                                 cu = resolve_href(r.url_canon, href)
@@ -223,7 +231,7 @@ def crawl(
             fetches.append(
                 OracleFetch(
                     round_id, rank, sched_unix, r.host, r.url_canon, status,
-                    text,
+                    text, title,
                 )
             )
             # revisit scheduling (Period) + S7 last-fetch bookkeeping

@@ -407,6 +407,10 @@ def run_round(
         "content_crc",
         "content_md5",
         F.col("text_extracted").alias("text"),
+        # W4 title zone: real <title> text from the parser (extract_title,
+        # same charset rules as the body) — SearchJob.build_from_fetched
+        # passes it as title_col so title hits get their zone weight
+        "title",
         F.size("outlinks").alias("n_links"),
     )
 

@@ -122,10 +122,16 @@ def ensure_bench_web(sf: float) -> str:
 
 
 def bench_crawl(
-    spark, web_dir: str, warmup_rounds: int = 2, timed_rounds: int = 3
-) -> tuple[float, int, float, int]:
+    spark, web_dir: str, warmup_rounds: int = 2, timed_rounds: int = 3,
+    timed_legs: int = 1,
+) -> tuple[list[tuple[float, int]], float, int]:
     """Multi-round crawl; JVM/codegen/Python-worker warm-up rounds are run
-    but not timed. Returns (timed_s, timed_urls, total_s, total_urls)."""
+    but not timed. Runs ``timed_legs`` consecutive timed legs of
+    ``timed_rounds`` each (round-4 verdict next-round #4: this host's
+    throughput drifts 2-8× with neighbor load, and a single timed window
+    landed a 3.2× artifact on the official record — two legs + min is the
+    drift-robust estimator, same spirit as the reversed-pair scaling
+    protocol). Returns ([(leg_s, leg_urls), ...], total_s, total_urls)."""
     import tempfile
 
     from aspseek_spark.config import CrawlConfig
@@ -151,17 +157,22 @@ def bench_crawl(
     seeds = spark.read.parquet(f"{web_dir}/seeds.parquet")
     t0 = time.time()
     warm = job.run(seeds, warmup_rounds)
-    t1 = time.time()
-    timed = []
-    for r in range(warmup_rounds + 1, warmup_rounds + timed_rounds + 1):
-        timed.append(job.run_one(r))
+    legs: list[tuple[float, int]] = []
+    r = warmup_rounds
+    for _leg in range(timed_legs):
+        t1 = time.time()
+        ms = [job.run_one(r + i) for i in range(1, timed_rounds + 1)]
+        r += timed_rounds
+        legs.append((
+            time.time() - t1,
+            sum(m["urls_scheduled"] + m["new_urls"] for m in ms),
+        ))
     t2 = time.time()
-    timed_urls = sum(m["urls_scheduled"] + m["new_urls"] for m in timed)
-    total_urls = timed_urls + sum(
+    total_urls = sum(u for _, u in legs) + sum(
         m["urls_scheduled"] + m["new_urls"] for m in warm
     )
     shutil.rmtree(state_root, ignore_errors=True)
-    return t2 - t1, timed_urls, t2 - t0, total_urls
+    return legs, t2 - t0, total_urls
 
 
 def _eventlog_counts(spark, window_ms: tuple[float, float]):
@@ -205,9 +216,10 @@ def main():
         web_dir = ensure_bench_web(sf)
         timed_rounds = int(os.environ.get("SPARK_GRAFT_TIMED_ROUNDS", "3"))
         t_wall0 = time.time()
-        t_timed, urls_timed, t_total, urls_total = bench_crawl(
+        legs, t_total, urls_total = bench_crawl(
             spark, web_dir, warmup_rounds=2, timed_rounds=timed_rounds,
         )
+        t_timed, urls_timed = legs[0]
         out = {
             "metric": "crawl_urls_per_sec",
             "value": round(urls_timed / t_timed, 1) if t_timed else 0,
@@ -235,12 +247,19 @@ def main():
     results: dict[str, float] = {}
 
     # --- crawl engine (the north-star workload) ---
+    # TWO timed legs; the headline is the MIN (drift-robust: the host's
+    # 2-8× neighbor-load drift shows up as one slow leg, and min of two
+    # consecutive legs bounds the artifact — both raw legs are published so
+    # a clean-vs-driver gap is explainable from the record itself)
     web_dir = ensure_bench_web(sf)
-    t_timed, urls_timed, t_total, urls_total = bench_crawl(
-        spark, web_dir, warmup_rounds=2, timed_rounds=3
+    legs, t_total, urls_total = bench_crawl(
+        spark, web_dir, warmup_rounds=2, timed_rounds=3, timed_legs=2
     )
+    leg_rates = [(u / t if t > 0 else 0.0) for t, u in legs]
+    best = min(range(len(legs)), key=lambda i: legs[i][0])
+    t_timed, urls_timed = legs[best]
     results["crawl_3rounds_steady"] = round(t_timed, 3)
-    urls_per_sec = urls_timed / t_timed if t_timed > 0 else 0.0
+    urls_per_sec = leg_rates[best]
 
     # --- representative operator queries on the driver tables ---
     headline = [
@@ -275,6 +294,12 @@ def main():
         "crawl_urls_processed": urls_timed,
         "crawl_total_sec_incl_warmup": round(t_total, 3),
         "crawl_total_urls_incl_warmup": urls_total,
+        # both raw legs (3 steady rounds each, run back-to-back) + the min
+        # estimator — a driver-record anomaly is now diagnosable from the
+        # record itself (legs agree → real change; legs split → host drift)
+        "crawl_leg_secs": [round(t, 3) for t, _ in legs],
+        "crawl_leg_urls_per_sec": [round(r, 1) for r in leg_rates],
+        "crawl_steady_estimator": "min_of_2_consecutive_legs",
     }
     scaling = _scaling_evidence()
     if scaling:

@@ -43,7 +43,7 @@ def _engine_fetches(store):
     df = store.read_fetched(N_ROUNDS)
     rows = df.select(
         "round", "sched_unix", "host", "url_canon", "status", "seq_in_host",
-        "text", "depth",
+        "text", "title", "depth",
     ).collect()
     return sorted(rows, key=lambda r: (r["round"], r["sched_unix"], r["host"], r["url_canon"]))
 
@@ -87,6 +87,23 @@ def test_text_byte_identical(engine_run, oracle_run, tiny_web, spark):
             assert text == golden[url]
             checked += 1
     assert checked >= 30
+
+
+def test_title_matches_oracle(engine_run, oracle_run):
+    """W4 title zone source: the engine's per-URL <title> text (parser
+    extract_title, same charset rules as the body) equals the oracle's;
+    non-parsed rows (404/304/302/MIME-filtered) carry None in both. The
+    fixture web writes real <title> tags, so real titles are checked."""
+    eng = {
+        (r["round"], r["url_canon"]): r["title"]
+        for r in _engine_fetches(engine_run)
+    }
+    non_empty = 0
+    for f in oracle_run.fetches:
+        assert eng[(f.round, f.url_canon)] == f.title, f.url_canon
+        if f.title:
+            non_empty += 1
+    assert non_empty >= 20, "fixture titles should be non-trivial"
 
 
 def test_politeness_invariants(engine_run, test_config):

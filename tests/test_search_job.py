@@ -289,6 +289,152 @@ def test_merge_deletes_gone_docs(spark, fetched_fixture, tmp_path_factory):
     assert 0 in _docs(job.search_and(["merge"]))
 
 
+def test_zone_rank_follows_merge_delta(spark, fetched_fixture, tmp_path_factory):
+    """Round-4 verdict fix #1: the zone index versions under the SAME
+    pointer as the main index and merge_delta compacts it with the same
+    replace+drop semantics — a revisited doc re-scores on its NEW body, a
+    404'd doc vanishes from zone-ranked results, and a crash before the
+    flip leaves the old zone index readable."""
+    import os
+
+    job = SearchJob(
+        spark, str(tmp_path_factory.mktemp("zone_merge")), n_buckets=16
+    )
+    job.build_from_fetched(fetched_fixture)
+    assert job.zone_path.endswith("zone_postings_v0")
+    # pre-merge: doc 2 ranks for its unique word; doc 0 scores on 'merge'
+    pre2 = {r["doc"] for r in job.search_zone_ranked(["filler2"]).collect()}
+    assert 2 in pre2
+    pre0 = {
+        r["doc"]: r["score"]
+        for r in job.search_zone_ranked(["zonefresh", "merge"]).collect()
+    }
+    assert 0 in pre0  # scores via 'merge' in its round-2 body
+
+    # crash simulation: half-built next zone gen + stale pointer tmp —
+    # reads still resolve v0 and serve
+    half = os.path.join(job.root, "zone_postings_v1")
+    os.makedirs(half, exist_ok=True)
+    with open(os.path.join(half, "junk.parquet"), "w") as f:
+        f.write("partial")
+    assert job.zone_path.endswith("zone_postings_v0")
+    assert 2 in {
+        r["doc"] for r in job.search_zone_ranked(["filler2"]).collect()
+    }
+
+    # merge: doc 0 revisited with a new body (drops 'merge', gains
+    # 'zonefresh'); doc 2 answers 404
+    delta = spark.createDataFrame(
+        [
+            (5, "http://h00.test/p0", 0, "h00.test", 1, 200,
+             "zonefresh body words only"),
+            (5, "http://h02.test/p2", 2, "h02.test", 1, 404, None),
+        ],
+        "round int, url_canon string, url_hash64 long, host string, "
+        "depth int, status int, text string",
+    )
+    job.merge_delta(delta)
+    assert job.zone_path.endswith("zone_postings_v1")
+    post = {
+        r["doc"]: r["score"]
+        for r in job.search_zone_ranked(["zonefresh", "merge"]).collect()
+    }
+    assert 0 in post  # re-scored on the NEW body via 'zonefresh'
+    # old body's 'merge' no longer contributes to doc 0: its score now
+    # comes from one 'zonefresh' hit (title-proxy zone → weight applies);
+    # critically the stale 'merge' postings are gone
+    merge_hits = {
+        r["doc"] for r in job.search_zone_ranked(["merge"], k=50).collect()
+    }
+    assert 0 not in merge_hits, "stale zone postings served after merge"
+    # deleted doc vanishes from zone-ranked results
+    assert 2 not in {
+        r["doc"] for r in job.search_zone_ranked(["filler2"], k=50).collect()
+    }
+    # untouched docs still rank
+    assert 1 in {
+        r["doc"] for r in job.search_zone_ranked(["filler1"], k=50).collect()
+    }
+
+
+def test_real_title_zone_outranks_body_hits(spark, tmp_path_factory):
+    """Round-4 verdict fix #2: a fetched table carrying the parser's
+    extract_title output uses REAL title tf — a doc whose <title> contains
+    the term outranks docs with body-only hits, and the first-4-tokens
+    proxy is NOT applied (body position no longer fakes a title)."""
+    rows = [
+        # doc 1: term in the TITLE only (body leads with other words)
+        (1, "http://t.test/a", 1, "t.test", 1, 200,
+         "alpha beta gamma delta widget here", "widget catalog"),
+        # doc 2: term twice in the BODY, leading position, no title hit
+        (1, "http://t.test/b", 2, "t.test", 1, 200,
+         "widget widget beta gamma delta", "unrelated heading"),
+        # doc 3: no term at all
+        (1, "http://t.test/c", 3, "t.test", 1, 200,
+         "nothing relevant", "other title"),
+    ]
+    fetched = spark.createDataFrame(
+        rows,
+        "round int, url_canon string, url_hash64 long, host string, "
+        "depth int, status int, text string, title string",
+    )
+    job = SearchJob(
+        spark, str(tmp_path_factory.mktemp("title_zone")), n_buckets=8
+    )
+    job.build_from_fetched(fetched)
+    got = [
+        (r["doc"], r["score"])
+        for r in job.search_zone_ranked(["widget"], title_weight=8).collect()
+    ]
+    # doc 1: 8*1 (title) + 1 (body) = 9; doc 2: body tf 2 = 2 — title wins
+    assert got == [(1, 9), (2, 2)]
+    # proxy disabled: doc 2's leading body 'widget' does NOT count as title
+    inline = build_zone_postings(
+        spark.createDataFrame(
+            [(2, "widget widget beta gamma delta", "unrelated heading")],
+            "doc_id long, text string, title string",
+        ),
+        "doc_id", "text", title_col="title",
+    )
+    r2 = inline.filter(F.col("word") == "widget").collect()[0]
+    assert (r2["tf_title"], r2["tf_body"]) == (0, 2)
+
+
+def test_clone_collapsed_ranking(spark, tmp_path_factory):
+    """J5 at serve time (round-4 verdict next-round #6): two byte-identical
+    docs collapse to one result (best score, tie → doc asc); docs with a
+    NULL digest stay their own group."""
+    rows = [
+        (1, "http://c.test/a", 1, "c.test", 1, 200, "spark data twice spark",
+         "md5same"),
+        (1, "http://c.test/b", 2, "c.test", 1, 200, "spark data twice spark",
+         "md5same"),
+        (1, "http://c.test/c", 3, "c.test", 1, 200, "spark once",
+         "md5other"),
+        (1, "http://c.test/d", 4, "c.test", 1, 200, "spark nodigest", None),
+        (1, "http://c.test/e", 5, "c.test", 1, 200, "spark nodigest2", None),
+    ]
+    fetched = spark.createDataFrame(
+        rows,
+        "round int, url_canon string, url_hash64 long, host string, "
+        "depth int, status int, text string, content_md5 string",
+    )
+    job = SearchJob(
+        spark, str(tmp_path_factory.mktemp("clone_rank")), n_buckets=8
+    )
+    job.build_from_fetched(fetched)
+    got = [
+        (r["doc"], r["score"])
+        for r in job.search_ranked(["spark"], one_per_clone=True).collect()
+    ]
+    # clones 1/2 collapse to doc 1 (score 2 each, doc asc); doc 3 stays;
+    # NULL-digest docs 4 and 5 are NOT grouped together
+    assert got == [(1, 2), (3, 1), (4, 1), (5, 1)]
+    # without collapse both clones rank
+    full = {r["doc"] for r in job.search_ranked(["spark"]).collect()}
+    assert {1, 2, 3, 4, 5} <= full
+
+
 def test_merge_swap_is_atomic(spark, fetched_fixture, tmp_path_factory):
     """Round-3 ADVICE: the old rename/rename swap had a window with NO live
     index. The versioned-dir + pointer-file scheme must (a) always resolve
