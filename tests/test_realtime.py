@@ -180,6 +180,60 @@ def test_realtime_append_moves_qcache_epoch(rt_job, spark):
     assert not before.storageLevel.useMemory
 
 
+def test_crawl_rounds_feed_realtime_search(
+    spark, tiny_web, test_config, tmp_path_factory
+):
+    """The crawl-then-search cycle the reference serves with its realtime
+    tables: after each committed crawl round, that round's fetched delta is
+    appended to the realtime tier and its pages are searchable BEFORE any
+    index merge; absorbing the segments equals a fresh full build over the
+    same fetched history (same doc sets, scores, zone ranking)."""
+    from aspseek_spark.plans.crawl_loop import CrawlJob
+    from aspseek_spark.sources.tables import StateStore
+
+    store = StateStore(str(tmp_path_factory.mktemp("rtcrawl_state")), spark)
+    job = CrawlJob(
+        spark, store, test_config,
+        spark.read.parquet(f"{tiny_web}/pages.parquet"),
+        spark.read.parquet(f"{tiny_web}/robots_src.parquet"),
+    )
+    sj = SearchJob(
+        spark, str(tmp_path_factory.mktemp("rtcrawl_idx")), n_buckets=8
+    )
+    job.ensure_init(spark.read.parquet(f"{tiny_web}/seeds.parquet"))
+    for r in (1, 2):
+        job.run_one(r)
+        sj.add_realtime(
+            store.read_fetched(r).filter(F.col("round") == r)
+        )
+    assert sorted(sj._rt_segments()) == [0, 1]
+    terms = ["engine", "crawler"]
+    pre = {
+        (r["doc"], r["score"]) for r in sj.search_any(terms).collect()
+    }
+    assert pre, "crawled pages must be searchable before any merge"
+    pre_zone = [
+        (r["doc"], r["score"])
+        for r in sj.search_zone_ranked(["search", "page"], k=20).collect()
+    ]
+    sj.merge_realtime()
+    post = {
+        (r["doc"], r["score"]) for r in sj.search_any(terms).collect()
+    }
+    assert post == pre
+    fresh = SearchJob(
+        spark, str(tmp_path_factory.mktemp("rtcrawl_fresh")), n_buckets=8
+    )
+    fresh.build_from_fetched(store.read_fetched(2))
+    assert {
+        (r["doc"], r["score"]) for r in fresh.search_any(terms).collect()
+    } == post
+    assert [
+        (r["doc"], r["score"])
+        for r in fresh.search_zone_ranked(["search", "page"], k=20).collect()
+    ] == pre_zone
+
+
 def test_realtime_crash_before_commit_is_invisible(rt_job, spark):
     """An uncommitted (crashed) segment directory is ignored by queries and
     clobbered by the retry — the pointer file is the commit point."""
