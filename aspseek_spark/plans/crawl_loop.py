@@ -152,10 +152,24 @@ class CrawlJob:
         robots = self.store.read_robots(prev)
         host_salts = self._read_host_salts(prev)
 
+        # early-write overlap (round-4 verdict next-round #7): fetched/links
+        # depend only on the parse checkpoint, so run_round submits their
+        # writes through this pool DURING the seen/new-urls phase; the
+        # futures are joined below before write_round publishes.
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        early_pool = _TPE(max_workers=2)
+
+        def _early_write(name, df):
+            return early_pool.submit(
+                self.store.write_table, name, round_id, df
+            )
+
         res = run_round(
             self.spark, round_id, self.config,
             frontier, seen, bloom, robots, self.pages, self.robots_src,
             fetcher=self.fetcher, host_salts=host_salts,
+            early_write=_early_write,
         )
 
         import os
@@ -185,15 +199,23 @@ class CrawlJob:
         n_new = res.new_urls.count()
         mark("new_urls.materialize")
         res.frontier.persist()
+        # join the early fetched/links writes (usually already finished —
+        # they overlapped the whole seen/new-urls phase) BEFORE write_round,
+        # so the manifest publish still happens strictly after every write;
+        # a failure raises here, pre-publish
+        for fut in res.early_futures or []:
+            fut.result()
+        early_pool.shutdown(wait=False)
+        mark("early_writes.join")
         self.store.write_round(
             round_id, self.config,
             frontier=res.frontier,
             bloom=res.bloom,
             seen_delta=res.seen_delta,
             robots_delta=res.robots_delta,
-            fetched=res.fetched,
+            fetched=None if res.early_futures else res.fetched,
             metrics=None,  # written below from cheap committed-state counts
-            links=res.links,
+            links=None if res.early_futures else res.links,
             on_table_written=mark if timing else None,
         )
         # per-round lineage + metrics [B:14] — all small cached-scan /

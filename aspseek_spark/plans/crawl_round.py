@@ -54,6 +54,10 @@ class RoundResult:
     robots_delta: DataFrame
     fetched: DataFrame
     round_ts: int
+    # futures of table writes started EARLY (during the seen/new_urls
+    # phase) via run_round's early_write hook; run_one joins them before
+    # the snapshot publish
+    early_futures: list = None
     # persisted intermediates to unpersist after the snapshot commit
     persisted: list = None
     scheduled: DataFrame = None
@@ -119,6 +123,7 @@ def run_round(
     truncate_lineage: bool = True,
     fetcher=None,
     host_salts: DataFrame | None = None,
+    early_write=None,
 ) -> RoundResult:
     """truncate_lineage=False keeps the full declarative plan on every
     output (no eager jobs, no checkpoints) — used by scripts/explain_plans.py
@@ -127,7 +132,17 @@ def run_round(
     ``fetcher`` (SRC2 seam): optional callable(scheduled DataFrame) →
     scheduled rows + html/content_type/last_modified columns — a live
     mapInPandas HTTP connector (sources/connector.py). None = simulated
-    fetch join against the ``pages`` corpus."""
+    fetch join against the ``pages`` corpus.
+
+    ``early_write`` (round-4 verdict next-round #7, coordination-floor
+    shave): optional callable(table_name, DataFrame) -> Future. The
+    ``fetched`` and ``links`` outputs depend ONLY on the parse checkpoint,
+    so their table writes are submitted HERE, immediately after the parse
+    job — they overlap the seen-probe/new-urls checkpoint instead of
+    queueing behind it in the round's write phase (where write.fetched was
+    a ~1 s straggler). The returned futures ride RoundResult.early_futures;
+    the caller joins them before the snapshot publish, so commit atomicity
+    is unchanged."""
     import os
     import time as _time
 
@@ -349,6 +364,52 @@ def run_round(
         F.col("redirect_canon").alias("url_canon"),
     )
     links = links.unionByName(redirect_links)
+
+    # F7/S7/F5 status branches, same precedence as the oracle
+    # (model_crawler): 404 miss → 304 not-modified → 302 meta-refresh →
+    # 200 (incl. MIME-filtered pages: fetched, not indexed). is_redirect
+    # (not redirect_canon) drives 302 so a redirect whose target is
+    # config-denied still reads 302.
+    status_col = (
+        F.when(F.col("status") == 404, F.lit(404))
+        .when(F.col("not_modified"), F.lit(304))
+        .when(F.col("is_redirect"), F.lit(302))
+        .otherwise(F.lit(200))
+    )
+    fetched = parsed.select(
+        F.lit(round_id).alias("round"),
+        "url_canon",
+        "url_hash64",
+        "host",
+        "depth",
+        "seq_in_host",
+        F.col("sched_unix").cast("long").alias("sched_unix"),
+        status_col.alias("status"),
+        "content_type",
+        "content_crc",
+        "content_md5",
+        F.col("text_extracted").alias("text"),
+        # W4 title zone: real <title> text from the parser (extract_title,
+        # same charset rules as the body) — SearchJob.build_from_fetched
+        # passes it as title_col so title hits get their zone weight
+        "title",
+        F.size("outlinks").alias("n_links"),
+    )
+    # D5/J6: the crawl link graph for `index -R` rank + lineage (cheap
+    # projections over the truncated parsed)
+    link_graph = links.select(
+        F.col("origin_hash64").alias("src_hash64"),
+        F.xxhash64("url_canon").alias("dst_hash64"),
+        F.lit(round_id).alias("round"),
+    )
+    # both depend only on the (checkpointed) parse output — start their
+    # table writes NOW so they overlap the seen/new-urls work below
+    early_futures: list = []
+    if early_write is not None and truncate_lineage:
+        early_futures.append(early_write("fetched", fetched))
+        early_futures.append(early_write("links", link_graph))
+        _mark("build.early_writes_submitted")
+
     cand = (
         links.groupBy("url_canon")
         .agg(F.min(F.struct("depth", "origin_hash64")).alias("m"))
@@ -382,45 +443,6 @@ def run_round(
         _mark("job.new_urls_ckpt")
         leftover = leftover_fut.result()  # overlapped with parse above
         _mark("job.leftover_join")
-
-    # F7/S7/F5 status branches, same precedence as the oracle
-    # (model_crawler): 404 miss → 304 not-modified → 302 meta-refresh →
-    # 200 (incl. MIME-filtered pages: fetched, not indexed). is_redirect
-    # (not redirect_canon) drives 302 so a redirect whose target is
-    # config-denied still reads 302.
-    status_col = (
-        F.when(F.col("status") == 404, F.lit(404))
-        .when(F.col("not_modified"), F.lit(304))
-        .when(F.col("is_redirect"), F.lit(302))
-        .otherwise(F.lit(200))
-    )
-    fetched = parsed.select(
-        F.lit(round_id).alias("round"),
-        "url_canon",
-        "url_hash64",
-        "host",
-        "depth",
-        "seq_in_host",
-        F.col("sched_unix").cast("long").alias("sched_unix"),
-        status_col.alias("status"),
-        "content_type",
-        "content_crc",
-        "content_md5",
-        F.col("text_extracted").alias("text"),
-        # W4 title zone: real <title> text from the parser (extract_title,
-        # same charset rules as the body) — SearchJob.build_from_fetched
-        # passes it as title_col so title hits get their zone weight
-        "title",
-        F.size("outlinks").alias("n_links"),
-    )
-
-    # D5/J6: the crawl link graph for `index -R` rank + lineage (cheap
-    # projections over the truncated parsed)
-    link_graph = links.select(
-        F.col("origin_hash64").alias("src_hash64"),
-        F.xxhash64("url_canon").alias("dst_hash64"),
-        F.lit(round_id).alias("round"),
-    )
 
     new_frontier_rows = new_urls.select(
         "url_canon",
@@ -493,6 +515,7 @@ def run_round(
         robots_delta=robots_delta,
         fetched=fetched,
         round_ts=round_ts,
+        early_futures=early_futures,
         persisted=[robots_delta, due_hosts]
         + ([found_urls] if found_urls is not None else [])
         + sched_persisted + extra_persisted,

@@ -166,6 +166,17 @@ class StateStore:
     def _p(self, table: str, round_id: int) -> str:
         return os.path.join(self.root, table, f"round={round_id}")
 
+    def write_table(self, name: str, round_id: int, df) -> None:
+        """One plain snapshot-table write — the early-write overlap path
+        (plans/crawl_round ``early_write``): fetched/links writes start
+        during the seen/new-urls phase instead of the write pool. Running
+        pre-publish is safe for the same reason the in-pool bucketed-seen
+        append is: round logic is deterministic (a crashed-then-retried
+        round re-derives and overwrites the same delta) and every reader
+        gates on the committed manifest, so files from an uncommitted
+        attempt are invisible."""
+        df.write.mode("overwrite").parquet(self._p(name, round_id))
+
     # -- partitioned frontier (SNK1: rounds rewrite only touched fparts) -----
     def _frontier_round_dir(self, round_id: int) -> str:
         return os.path.join(self.root, "frontier_rounds", f"round={round_id}")

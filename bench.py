@@ -247,14 +247,25 @@ def main():
     results: dict[str, float] = {}
 
     # --- crawl engine (the north-star workload) ---
-    # TWO timed legs; the headline is the MIN (drift-robust: the host's
-    # 2-8× neighbor-load drift shows up as one slow leg, and min of two
-    # consecutive legs bounds the artifact — both raw legs are published so
-    # a clean-vs-driver gap is explainable from the record itself)
+    # TWO independent timed legs — each a FRESH crawl over the same cached
+    # web, timing rounds 3-5 (identical workload; continuing one crawl for
+    # 6 more rounds saturates the synthetic web and the second window does
+    # less work). Leg 2 pays only cheap re-warmup on the hot JVM. The
+    # headline is the FASTER leg (min seconds over identical work —
+    # drift-robust: the host's 2-8× neighbor-load drift shows up as one
+    # slow leg; both raw legs are published so a clean-vs-driver gap is
+    # explainable from the record itself; round-4 verdict next-round #4).
     web_dir = ensure_bench_web(sf)
-    legs, t_total, urls_total = bench_crawl(
-        spark, web_dir, warmup_rounds=2, timed_rounds=3, timed_legs=2
-    )
+    legs = []
+    t_total = 0.0
+    urls_total = 0
+    for _leg in range(2):
+        leg, t_tot, u_tot = bench_crawl(
+            spark, web_dir, warmup_rounds=2, timed_rounds=3, timed_legs=1
+        )
+        legs.append(leg[0])
+        t_total += t_tot
+        urls_total += u_tot
     leg_rates = [(u / t if t > 0 else 0.0) for t, u in legs]
     best = min(range(len(legs)), key=lambda i: legs[i][0])
     t_timed, urls_timed = legs[best]
@@ -294,12 +305,13 @@ def main():
         "crawl_urls_processed": urls_timed,
         "crawl_total_sec_incl_warmup": round(t_total, 3),
         "crawl_total_urls_incl_warmup": urls_total,
-        # both raw legs (3 steady rounds each, run back-to-back) + the min
-        # estimator — a driver-record anomaly is now diagnosable from the
-        # record itself (legs agree → real change; legs split → host drift)
+        # both raw legs (independent fresh crawls, rounds 3-5 timed each,
+        # run back-to-back) + the min estimator — a driver-record anomaly
+        # is now diagnosable from the record itself (legs agree → real
+        # change; legs split → host drift)
         "crawl_leg_secs": [round(t, 3) for t, _ in legs],
         "crawl_leg_urls_per_sec": [round(r, 1) for r in leg_rates],
-        "crawl_steady_estimator": "min_of_2_consecutive_legs",
+        "crawl_steady_estimator": "min_of_2_independent_legs",
     }
     scaling = _scaling_evidence()
     if scaling:
