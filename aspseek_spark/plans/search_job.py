@@ -78,12 +78,16 @@ _POSTINGS_SCHEMA = "doc long, word string, positions array<int>, tf long"
 _ZONE_SCHEMA = (
     "doc long, word string, tf_title long, tf_body long, zone_mask int"
 )
-_META_COLS = ["doc_id", "host", "text", "title", "content_md5",
+_META_COLS = ["doc_id", "url", "host", "text", "title", "content_md5",
               "fetched_unix"]
 _META_SCHEMA = (
-    "doc_id long, host string, text string, title string, "
+    "doc_id long, url string, host string, text string, title string, "
     "content_md5 string, fetched_unix long"
 )
+_META_TYPES = {
+    "doc_id": "long", "url": "string", "host": "string", "text": "string",
+    "title": "string", "content_md5": "string", "fetched_unix": "long",
+}
 # read schemas incl. the partition column — segment directories can hold
 # ZERO part files (delete-only segments), where schema inference fails
 _POSTINGS_READ = _POSTINGS_SCHEMA + ", word_bucket long"
@@ -123,13 +127,14 @@ def _indexable_docs(fetched: DataFrame) -> DataFrame:
         .agg(
             F.max_by("text", "round").alias("text"),
             F.max_by("host", "round").alias("host"),
+            F.max_by("url_canon", "round").alias("url"),
             F.max_by("_stamp", "round").alias("fetched_unix"),
             F.max_by("_title", "round").alias("title"),
             F.max_by("_md5", "round").alias("content_md5"),
         )
         .select(
-            F.col("url_hash64").alias("doc_id"), "host", "text", "title",
-            "content_md5", "fetched_unix",
+            F.col("url_hash64").alias("doc_id"), "url", "host", "text",
+            "title", "content_md5", "fetched_unix",
         )
     )
 
@@ -362,7 +367,9 @@ class SearchJob:
         old_meta = self.spark.read.parquet(meta_src)
         for c in _META_COLS:  # metas written before round 5 lack new cols
             if c not in old_meta.columns:
-                old_meta = old_meta.withColumn(c, F.lit(None).cast("string"))
+                old_meta = old_meta.withColumn(
+                    c, F.lit(None).cast(_META_TYPES[c])
+                )
         old_meta = old_meta.select(*_META_COLS)
         merged_meta = (
             old_meta.join(delta_docs.select("doc_id"), "doc_id", "left_anti")
@@ -437,7 +444,16 @@ class SearchJob:
         # re-read: the absorb later consumes these exact bytes, and the
         # index build below shares the scan instead of the caller's lineage
         fetched = self.spark.read.parquet(os.path.join(seg, "fetched"))
-        docs = _indexable_docs(fetched).localCheckpoint()
+        gone = _gone_docs(fetched).localCheckpoint()
+        # a doc whose LATEST row in this delta is 404/410 must not enter
+        # the segment's own index either (one crawl round can't produce
+        # both, but a caller batching several rounds into one append can)
+        docs = (
+            _indexable_docs(fetched)
+            .join(gone.select(F.col("doc").alias("doc_id")),
+                  "doc_id", "left_anti")
+            .localCheckpoint()
+        )
         title_col = "title" if "title" in fetched.columns else None
         write_postings_bucketed(
             build_postings(docs, "doc_id", "text", stopwords),
@@ -452,9 +468,7 @@ class SearchJob:
         )
         self._write_meta(docs.select(*_META_COLS),
                          os.path.join(seg, "docs_meta"))
-        _gone_docs(fetched).write.mode("overwrite").parquet(
-            os.path.join(seg, "gone")
-        )
+        gone.write.mode("overwrite").parquet(os.path.join(seg, "gone"))
         self._rt_commit_segments(segs + [k])
         return k
 
@@ -533,7 +547,9 @@ class SearchJob:
             base = self.spark.read.parquet(self.meta_path)
             for c in _META_COLS:
                 if c not in base.columns:
-                    base = base.withColumn(c, F.lit(None).cast("string"))
+                    base = base.withColumn(
+                        c, F.lit(None).cast(_META_TYPES[c])
+                    )
             base = base.select(*_META_COLS)
         else:
             base = self.spark.createDataFrame([], _META_SCHEMA)
@@ -733,6 +749,47 @@ class SearchJob:
         return with_excerpts(
             ranked, stored, terms, doc_col="doc_id",
             before=before, width=width, title_tokens=title_tokens,
+        )
+
+    def render_page(
+        self,
+        terms: list[str],
+        page: int = 0,
+        page_size: int = 10,
+        one_per_site: bool = False,
+        template: str | None = None,
+    ) -> str:
+        """The s.cgi results PAGE as HTML ([R:src/templates.cpp] +
+        [R:etc/s.htm] analog — functions/render.py): zone/tf-ranked page
+        with per-hit excerpts, titles, and URLs rendered through the
+        section/$(var) template contract. The collect here is the page
+        itself (≤ page_size rows, user-facing presentation — not a data
+        path); $(total) costs one counting aggregate over the pruned
+        probe."""
+        from ..functions.render import render_serp
+
+        hits = self.search_excerpts(
+            terms, page=page, page_size=page_size, one_per_site=one_per_site
+        ).select("doc", "score", "best_term", "excerpt")
+        meta = self._meta_df().select(
+            F.col("doc_id").alias("doc"), "url", "title", "host"
+        )
+        rows = (
+            hits.join(meta, "doc")
+            .orderBy(F.desc("score"), F.asc("doc"))
+            .collect()
+        )
+        total = self.search_any(terms).count()
+        results = [
+            {
+                "url": r["url"], "title": r["title"], "host": r["host"],
+                "excerpt": r["excerpt"], "score": r["score"],
+            }
+            for r in rows
+        ]
+        return render_serp(
+            template, " ".join(terms), results,
+            page=page, page_size=page_size, total=total,
         )
 
     def excerpts_for_page(
