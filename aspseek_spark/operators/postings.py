@@ -267,14 +267,16 @@ def query_oracle_sql(
     text_col: str = "text",
     site_col: str | None = None,
     time_col: str | None = None,
+    link_expr: str | None = None,
 ) -> str:
     """DuckDB SQL for the exact eval_query semantics, generated from the
     SAME AST — one parse, two backends (the excerpt_oracle_sql pattern), so
     the driver's value-hash gate covers the full query language. Returns a
     complete SELECT yielding (doc_id, score). ``site_col`` names the
-    table's site column for `site:` atoms and ``time_col`` its timestamp
-    column for `after:` atoms (link: atoms are engine-side only — the
-    driver tables carry no link graph)."""
+    table's site column for `site:` atoms; ``time_col`` its timestamp
+    column for `after:` atoms; ``link_expr`` a parenthesized SQL subquery
+    yielding (doc, target) rows for `link:` atoms — the link-graph twin of
+    whatever ``links_to`` DataFrame the Spark side evaluates against."""
     from ..functions.queryparse import (
         After,
         And,
@@ -300,7 +302,12 @@ def query_oracle_sql(
                 f"WHERE {site_col} = '{_sq(n.host)}')"
             )
         if isinstance(n, Link):
-            raise ValueError("link: has no oracle (no link table)")
+            if link_expr is None:
+                raise ValueError("link: oracle needs link_expr")
+            return "pos", (
+                "(SELECT DISTINCT doc, 0::BIGINT AS score FROM "
+                f"{link_expr} lk WHERE lk.target = '{_sq(n.url)}')"
+            )
         if isinstance(n, After):
             if time_col is None:
                 raise ValueError("after: oracle needs time_col")

@@ -157,10 +157,17 @@ class SearchJob:
         root: str,
         n_buckets: int = 64,
         qcache_entries: int = 64,
+        rt_max_segments: int | None = 16,
     ):
         self.spark = spark
         self.root = root
         self.n_buckets = n_buckets
+        # realtime-tier merge policy (the reference runs its merge pass
+        # periodically): once more than this many unmerged segments exist,
+        # the NEXT add_realtime absorbs them all into the main index —
+        # probe fan-out stays bounded (each query scans main + ≤K segment
+        # dirs). None = never auto-merge (caller drives merge_realtime).
+        self.rt_max_segments = rt_max_segments
         # qcache analog ([R:src/qcache.cpp]; round-3 verdict missing #2):
         # normalized query → (index epoch, materialized persisted result).
         # Keyed on the live index EPOCH (version pointer + realtime segment
@@ -470,6 +477,12 @@ class SearchJob:
                          os.path.join(seg, "docs_meta"))
         gone.write.mode("overwrite").parquet(os.path.join(seg, "gone"))
         self._rt_commit_segments(segs + [k])
+        if (
+            self.rt_max_segments is not None
+            and len(segs) + 1 > self.rt_max_segments
+        ):
+            # periodic merge pass: bound the per-query segment fan-out
+            self.merge_realtime(title_tokens=title_tokens)
         return k
 
     def merge_realtime(self, title_tokens: int = 4) -> None:

@@ -234,6 +234,28 @@ def test_crawl_rounds_feed_realtime_search(
     ] == pre_zone
 
 
+def test_rt_max_segments_auto_merge(spark, tmp_path_factory):
+    """The reference's periodic merge pass: once the unmerged segment
+    count exceeds rt_max_segments, the next append absorbs them — probe
+    fan-out stays bounded and results are unchanged."""
+    job = SearchJob(
+        spark, str(tmp_path_factory.mktemp("rt_auto")), n_buckets=8,
+        rt_max_segments=2,
+    )
+    job.build_from_fetched(spark.createDataFrame(_base_rows(), SCHEMA))
+    for i in range(3):
+        job.add_realtime(spark.createDataFrame(
+            [(2 + i, f"http://h9.test/n{i}", 900 + i, "h9.test", 1, 200,
+              f"autoword{i} spark")],
+            SCHEMA,
+        ))
+    # third append exceeded the cap → everything absorbed into main
+    assert job._rt_segments() == []
+    for i in range(3):
+        assert 900 + i in _docs(job.search_and([f"autoword{i}"]))
+    assert 0 in _docs(job.search_and(["filler0"]))
+
+
 def test_realtime_crash_before_commit_is_invisible(rt_job, spark):
     """An uncommitted (crashed) segment directory is ignored by queries and
     clobbered by the retry — the pointer file is the commit point."""
