@@ -6,7 +6,8 @@
 operators (minhash/simhash/media) run in a portable md5-derived 60-bit hash
 mode reproducible in DuckDB, iterative pagerank is unrolled into chained
 CTEs, and the approximate-ANN paths use deterministic centroids/hyperplanes
-the oracle replays — so the driver's value-hash gate covers all 46 queries.
+the oracle replays — so the value-hash gate covers all 59 queries (the
+driver checks the first 50 dict entries; scripts/check_entry.py checks all).
 
 Column names are aliased identically on both sides; doubles are rounded on
 both sides so value hashes are stable across engines; timestamps are

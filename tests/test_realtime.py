@@ -234,6 +234,28 @@ def test_crawl_rounds_feed_realtime_search(
     ] == pre_zone
 
 
+def test_overlay_probe_still_prunes_and_broadcasts(rt_job, spark):
+    """Plan shape with a live segment: the MAIN probe scan still
+    partition-prunes to the terms' word buckets, and the newest-wins mask
+    is a broadcast left-anti join (segment deltas are round-sized — never
+    a shuffled join against the main index)."""
+    import io
+    from contextlib import redirect_stdout
+
+    rt_job.add_realtime(spark.createDataFrame(
+        [(2, "http://h9.test/new", 900, "h9.test", 1, 200, "spark fresh")],
+        SCHEMA,
+    ))
+    probe = rt_job.probe(["spark"])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "word_bucket" in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_rt_max_segments_auto_merge(spark, tmp_path_factory):
     """The reference's periodic merge pass: once the unmerged segment
     count exceeds rt_max_segments, the next append absorbs them — probe
