@@ -9,7 +9,7 @@ Grammar (precedence low → high):
     and     := unary ( ('&' | ε) unary )*      # adjacency = implicit AND
     unary   := '~' unary | atom
     atom    := '(' query ')' | '"' word+ '"' | 'site:' host
-             | 'link:' url | 'after:' unixts | word
+             | 'link:' url | 'after:' unixts | 'before:' unixts | word
 
 Words lowercase at parse time (the postings are lowercase). The parser is
 pure Python and produces a tiny AST the Spark evaluator
@@ -62,6 +62,14 @@ class After:
 
 
 @dataclass(frozen=True)
+class Before:
+    """`before:unixts` modifier — docs fetched strictly BEFORE the
+    timestamp. Half-open pairing with After (>= a, < b): ``after:a &
+    before:b`` is the s.cgi date-RANGE limit with no boundary overlap."""
+    ts: int
+
+
+@dataclass(frozen=True)
 class Phrase:
     words: tuple[str, ...]
 
@@ -83,7 +91,7 @@ class Not:
     child: "Node"
 
 
-Node = Term | Phrase | And | Or | Not | Site | Link | After
+Node = Term | Phrase | And | Or | Not | Site | Link | After | Before
 
 _TOKEN_RE = re.compile(r'\s*(?:(\()|(\))|(&)|(\|)|(~)|("([^"]*)")|([^\s()&|~"]+))')
 
@@ -194,6 +202,13 @@ class _Parser:
                     raise QuerySyntaxError(
                         f"after: needs a unix timestamp, got {w[6:]!r}"
                     ) from None
+            if w.startswith("before:"):
+                try:
+                    return Before(int(w[7:]))
+                except ValueError:
+                    raise QuerySyntaxError(
+                        f"before: needs a unix timestamp, got {w[7:]!r}"
+                    ) from None
             return Term(w)
         raise QuerySyntaxError(f"expected a term, got {p!r}")
 
@@ -219,7 +234,7 @@ def query_terms(node: Node) -> list[str]:
             for w in n.words:
                 if w not in out:
                     out.append(w)
-        elif isinstance(n, (Site, Link, After)):
+        elif isinstance(n, (Site, Link, After, Before)):
             pass  # filter atoms probe meta/links tables, not postings
         elif isinstance(n, Not):
             walk(n.child)

@@ -177,6 +177,7 @@ def eval_query(
     from ..functions.queryparse import (
         After,
         And,
+        Before,
         Link,
         Not,
         Or,
@@ -211,6 +212,13 @@ def eval_query(
                 raise ValueError("after: filter needs the fetched_at table")
             return "pos", fetched_at.filter(
                 F.col("fetched_unix") >= F.lit(n.ts)
+            ).select("doc", F.lit(0).cast("long").alias("score"))
+        if isinstance(n, Before):
+            if fetched_at is None:
+                raise ValueError("before: filter needs the fetched_at table")
+            # strictly-before (half-open with After: >= a, < b)
+            return "pos", fetched_at.filter(
+                F.col("fetched_unix") < F.lit(n.ts)
             ).select("doc", F.lit(0).cast("long").alias("score"))
         if isinstance(n, Not):
             if isinstance(n.child, Not):  # ~~x = x
@@ -280,6 +288,7 @@ def query_oracle_sql(
     from ..functions.queryparse import (
         After,
         And,
+        Before,
         Link,
         Not,
         Or,
@@ -314,6 +323,13 @@ def query_oracle_sql(
             return "pos", (
                 f"(SELECT {id_col} AS doc, 0::BIGINT AS score FROM {table} "
                 f"WHERE {time_col} >= {n.ts})"
+            )
+        if isinstance(n, Before):
+            if time_col is None:
+                raise ValueError("before: oracle needs time_col")
+            return "pos", (
+                f"(SELECT {id_col} AS doc, 0::BIGINT AS score FROM {table} "
+                f"WHERE {time_col} < {n.ts})"
             )
         if isinstance(n, Phrase):
             conds = " AND ".join(

@@ -313,6 +313,59 @@ def test_eval_after_filter(spark, qpost):
     assert got == want == {(2, 1)}
 
 
+def test_eval_before_filter_and_range(spark, qpost):
+    """`before:` (strictly-before) completes the s.cgi date-RANGE pair:
+    `after:a & before:b` is half-open [a, b) — no boundary double-count;
+    engine + generated DuckDB oracle from the same parse."""
+    import duckdb
+
+    from aspseek_spark.functions.queryparse import Before
+
+    assert parse_query("before:99") == Before(99)
+    with pytest.raises(QuerySyntaxError):
+        parse_query("before:notanumber")
+    fetched_at = spark.createDataFrame(
+        [(i, 100 + i * 10) for i in range(1, 7)], "doc long, fetched_unix long"
+    )
+    base = dict(_rows(eval_query(qpost, parse_query("spark"))))
+    got = _rows(
+        eval_query(
+            qpost, parse_query("spark before:140"), fetched_at=fetched_at
+        )
+    )
+    assert got == {(d, s) for d, s in base.items() if 100 + d * 10 < 140}
+    # half-open range: boundary doc (fetched_unix == 140) is in after: only
+    rng = _rows(
+        eval_query(
+            qpost, parse_query("spark & after:130 & before:140"),
+            fetched_at=fetched_at,
+        )
+    )
+    assert rng == {(d, s) for d, s in base.items() if d * 10 + 100 == 130}
+    with pytest.raises(ValueError):  # missing fetched_at table
+        eval_query(qpost, parse_query("before:1"))
+
+    # oracle parity from the same parse
+    rows = [(1, 100, "spark x"), (2, 150, "spark y"), (3, 200, "spark z")]
+    docs = spark.createDataFrame(rows, "doc_id long, fts long, text string")
+    post = build_postings(docs, "doc_id", "text")
+    fa = docs.select(
+        F.col("doc_id").alias("doc"), F.col("fts").alias("fetched_unix")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {t}, {x!r})" for i, t, x in rows)
+        + ") v(doc_id, fts, text)"
+    )
+    ast = parse_query("spark & after:100 & before:200")
+    got = _rows(eval_query(post, ast, fetched_at=fa))
+    want = set(
+        con.execute(query_oracle_sql(ast, time_col="fts")).fetchall()
+    )
+    assert got == want == {(1, 1), (2, 1)}
+
+
 def test_search_job_after_filter(spark, tmp_path_factory):
     """SearchJob serves after: from the stored-text table's fetch stamp;
     a merge refreshes the stamp (revisited doc passes a later bar)."""
