@@ -121,6 +121,9 @@ def main() -> int:
     sj.search_cached("and", ["engine", "search"])
     check("qcache repeat hit", sj.qcache_hits >= 1)
     print("SUMMARY:", "ALL PASS" if ok else "FAILURES PRESENT")
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
     return 0 if ok else 1
 
 

@@ -185,6 +185,59 @@ def test_eval_matches_duckdb_oracle(spark, qdocs, qpost):
         assert got == want, q
 
 
+def test_random_queries_match_duckdb_oracle(spark, qdocs, qpost):
+    """Property test: RANDOM well-formed boolean queries over the fixed
+    vocabulary — Spark eval_query and the generated DuckDB oracle must
+    agree on (doc, score) for every shape the grammar can produce
+    (bounded depth; negative-only shapes are skipped on both sides
+    identically). Deterministic seed: same 25 queries every run."""
+    import random
+
+    import duckdb
+
+    vocab = ["spark", "data", "table", "query", "merge", "the", "wins",
+             "nothing", "engine", "absent"]
+    rng = random.Random(20260817)
+
+    def gen(depth: int) -> str:
+        r = rng.random()
+        if depth >= 3 or r < 0.45:
+            if rng.random() < 0.2:
+                n = rng.randint(2, 3)
+                return '"' + " ".join(rng.choice(vocab) for _ in range(n)) + '"'
+            return rng.choice(vocab)
+        if r < 0.65:
+            return f"({gen(depth + 1)} & {gen(depth + 1)})"
+        if r < 0.8:
+            return f"({gen(depth + 1)} | {gen(depth + 1)})"
+        if r < 0.9:
+            return f"({gen(depth + 1)} & ~{gen(depth + 1)})"
+        return f"~~{gen(depth + 1)}"
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {t!r})" for i, t in DOCS_ROWS)
+        + ") v(doc_id, text)"
+    )
+    checked = 0
+    for _ in range(25):
+        q = gen(0)
+        ast = parse_query(q)
+        try:
+            got = _rows(eval_query(qpost, ast))
+        except ValueError:
+            # unbounded (negative-only / OR-over-negated) — the oracle
+            # generator must refuse the SAME shapes
+            with pytest.raises(ValueError):
+                query_oracle_sql(ast)
+            continue
+        want = set(con.execute(query_oracle_sql(ast)).fetchall())
+        assert got == want, q
+        checked += 1
+    assert checked >= 12, f"only {checked} evaluable queries generated"
+
+
 def test_oracle_sql_escapes_apostrophes(spark):
     """Round-4 ADVICE: the tokenizer allows apostrophes in words, so the
     oracle generators must escape them — `o'brien` (term, phrase, and
