@@ -35,6 +35,7 @@ class CrawlJob:
         pages: DataFrame,
         robots_src: DataFrame,
         fetcher=None,
+        realtime_index=None,
     ):
         self.spark = spark
         self.store = store
@@ -42,6 +43,12 @@ class CrawlJob:
         self.pages = pages
         self.robots_src = robots_src
         self.fetcher = fetcher  # SRC2 seam: live connector or None=simulated
+        # optional SearchJob: each committed round's fetched delta is
+        # appended to its realtime tier, making just-crawled pages
+        # searchable immediately (the reference's crawl-then-search cycle
+        # through realtime tables; its rt_max_segments policy decides when
+        # segments fold into the main index)
+        self.realtime_index = realtime_index
 
     def ensure_init(self, seeds: DataFrame) -> None:
         """Commit round-0 state (seed insertion) if nothing is committed.
@@ -298,6 +305,15 @@ class CrawlJob:
         self.spark.createDataFrame([Row(**metrics)]).write.mode(
             "overwrite"
         ).parquet(self.store._p("metrics", round_id))
+        if self.realtime_index is not None:
+            # post-commit: the round's pages become searchable NOW (reads
+            # the just-committed fetched delta — restart-safe: a crash here
+            # only delays searchability until the caller re-appends)
+            self.realtime_index.add_realtime(
+                self.store.read_fetched(round_id).filter(
+                    F.col("round") == round_id
+                )
+            )
         for df in res.persisted or []:
             df.unpersist()
         res.frontier.unpersist()

@@ -44,12 +44,15 @@ def main() -> int:
     write_web(web, WebSpec(n_pages=600, seed=42, seed_hosts_frac=0.4))
     store = StateStore(os.path.join(tmp, "state"), spark)
     cfg = CrawlConfig(shuffle_partitions=8, bloom_partitions=8)
+    sj = SearchJob(spark, os.path.join(tmp, "index"), n_buckets=16)
+    # realtime_index: every committed round is searchable immediately —
+    # the crawl-then-search cycle as ONE wiring point
     job = CrawlJob(
         spark, store, cfg,
         spark.read.parquet(f"{web}/pages.parquet"),
         spark.read.parquet(f"{web}/robots_src.parquet"),
+        realtime_index=sj,
     )
-    sj = SearchJob(spark, os.path.join(tmp, "index"), n_buckets=16)
     job.ensure_init(spark.read.parquet(f"{web}/seeds.parquet"))
     ok = True
 
@@ -60,7 +63,6 @@ def main() -> int:
 
     for r in range(1, N_ROUNDS + 1):
         job.run_one(r)
-        sj.add_realtime(store.read_fetched(r).filter(F.col("round") == r))
     check("realtime segments live", sorted(sj._rt_segments()) == [0, 1, 2])
 
     queries = [
@@ -84,6 +86,27 @@ def main() -> int:
         for r in sj.search_zone_ranked(["search", "page"], k=10).collect()
     ]
     check("zone-ranked pre-merge", len(zone_pre) > 0, f"top={len(zone_pre)}")
+
+    # J6 at query time: `link:` against the crawl's REAL link graph — find
+    # the most-linked-to page and search for docs that link to it
+    links = store.read_links(N_ROUNDS)
+    top_dst = (
+        links.groupBy("dst_hash64").count()
+        .orderBy(F.desc("count"), F.asc("dst_hash64")).first()
+    )
+    links_to = links.select(
+        F.col("src_hash64").alias("doc"),
+        F.col("dst_hash64").cast("string").alias("target"),
+    )
+    link_hits = sj.search_query(
+        f"(page | host | search) & link:{top_dst['dst_hash64']}",
+        links_to=links_to,
+    ).collect()
+    check(
+        "link: against the crawl graph",
+        len(link_hits) >= 1,
+        f"linkers={top_dst['count']} hits={len(link_hits)}",
+    )
 
     sj.merge_realtime()
     check("segments absorbed", sj._rt_segments() == [])

@@ -192,20 +192,20 @@ def test_crawl_rounds_feed_realtime_search(
     from aspseek_spark.sources.tables import StateStore
 
     store = StateStore(str(tmp_path_factory.mktemp("rtcrawl_state")), spark)
+    sj = SearchJob(
+        spark, str(tmp_path_factory.mktemp("rtcrawl_idx")), n_buckets=8
+    )
+    # the one-wiring-point integration: CrawlJob appends every committed
+    # round's fetched delta to the realtime tier itself
     job = CrawlJob(
         spark, store, test_config,
         spark.read.parquet(f"{tiny_web}/pages.parquet"),
         spark.read.parquet(f"{tiny_web}/robots_src.parquet"),
-    )
-    sj = SearchJob(
-        spark, str(tmp_path_factory.mktemp("rtcrawl_idx")), n_buckets=8
+        realtime_index=sj,
     )
     job.ensure_init(spark.read.parquet(f"{tiny_web}/seeds.parquet"))
     for r in (1, 2):
         job.run_one(r)
-        sj.add_realtime(
-            store.read_fetched(r).filter(F.col("round") == r)
-        )
     assert sorted(sj._rt_segments()) == [0, 1]
     terms = ["engine", "crawler"]
     pre = {
