@@ -440,7 +440,11 @@ class SearchJob:
         O(delta) work: tokenize the delta once, write small bucketed
         directories. Returns the segment id. Rounds must be monotone across
         appends (they are in the crawl loop) so newest-wins is well-defined
-        when the segments are absorbed."""
+        when the segments are absorbed.
+
+        The segment keeps a copy of the raw fetched rows (the absorb
+        re-reads them): round-sized, bounded by rt_max_segments × round,
+        and deleted at absorb — not a second copy of the corpus."""
         segs = self._rt_segments()
         k = (max(segs) + 1) if segs else 0
         seg = self._seg_path(k)
