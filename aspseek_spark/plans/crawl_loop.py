@@ -307,12 +307,11 @@ class CrawlJob:
         ).parquet(self.store._p("metrics", round_id))
         if self.realtime_index is not None:
             # post-commit: the round's pages become searchable NOW (reads
-            # the just-committed fetched delta — restart-safe: a crash here
-            # only delays searchability until the caller re-appends)
+            # ONLY the just-committed round's fetched directory —
+            # restart-safe: a crash here only delays searchability until
+            # the caller re-appends)
             self.realtime_index.add_realtime(
-                self.store.read_fetched(round_id).filter(
-                    F.col("round") == round_id
-                )
+                self.spark.read.parquet(self.store._p("fetched", round_id))
             )
         for df in res.persisted or []:
             df.unpersist()
