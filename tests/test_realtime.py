@@ -278,6 +278,101 @@ def test_rt_max_segments_auto_merge(spark, tmp_path_factory):
     assert 0 in _docs(job.search_and(["filler0"]))
 
 
+def test_lifecycle_random_ops_match_dict_model(spark, tmp_path_factory):
+    """Model-based check of the whole index lifecycle: a random interleave
+    of realtime appends, LSM merges and realtime absorbs — with new docs,
+    revisits and 404 deletes — must always agree with a plain doc→text
+    dict model on (doc, score) for probed words AND on stored text.
+    Deterministic seed: the same 10-op schedule every run."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(20260817)
+    vocab = ["spark", "data", "index", "crawl", "merge", "query", "host"]
+
+    def text_for() -> str:
+        return " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 8)))
+
+    def rows_for(round_no: int, updates: dict[int, str | None]):
+        out = []
+        for doc, text in updates.items():
+            status = 404 if text is None else 200
+            out.append((round_no, f"http://h{doc % 3}.test/p{doc}", doc,
+                        f"h{doc % 3}.test", 1, status, text))
+        return spark.createDataFrame(out, SCHEMA)
+
+    job = SearchJob(
+        spark, str(tmp_path_factory.mktemp("model_idx")), n_buckets=8,
+        rt_max_segments=None,  # the schedule drives merges explicitly
+    )
+    model: dict[int, str] = {i: text_for() for i in range(12)}
+    job.build_from_fetched(rows_for(1, dict(model)))
+    next_doc = 12
+
+    def random_updates() -> dict[int, str | None]:
+        ups: dict[int, str | None] = {}
+        for _ in range(rng.randint(1, 4)):
+            kind = rng.random()
+            live = sorted(model)
+            if kind < 0.4 or not live:  # brand-new doc
+                nonlocal next_doc
+                ups[next_doc] = text_for()
+                next_doc += 1
+            elif kind < 0.75:  # revisit with new text
+                ups[rng.choice(live)] = text_for()
+            else:  # delete
+                ups[rng.choice(live)] = None
+        return ups
+
+    def apply_to_model(ups: dict[int, str | None]) -> None:
+        for doc, text in ups.items():
+            if text is None:
+                model.pop(doc, None)
+            else:
+                model[doc] = text
+
+    def verify(tag: str) -> None:
+        for w in rng.sample(vocab, 3):
+            got = {
+                (r["doc"], r["score"])
+                for r in job.search_and([w]).collect()
+            }
+            want = {
+                (doc, text.split().count(w))
+                for doc, text in model.items()
+                if w in text.split()
+            }
+            assert got == want, (tag, w)
+        meta = {
+            r["doc_id"]: r["text"] for r in job._meta_df().collect()
+        }
+        assert meta == model, tag
+
+    for round_no in range(2, 12):
+        ups = random_updates()
+        op = rng.random()
+        if op < 0.5:
+            job.add_realtime(rows_for(round_no, ups))
+        elif op < 0.8:
+            # merging while unmerged segments exist is allowed only if the
+            # delta does not touch docs a segment still overlays (the
+            # overlay would win); absorb first to keep semantics exact
+            job.merge_realtime()
+            job.merge_delta(rows_for(round_no, ups))
+        else:
+            job.add_realtime(rows_for(round_no, ups))
+            apply_to_model(ups)
+            verify(f"round{round_no}-pre-absorb")
+            job.merge_realtime()
+            verify(f"round{round_no}-post-absorb")
+            continue
+        apply_to_model(ups)
+        verify(f"round{round_no}")
+    job.merge_realtime()
+    verify("final-absorb")
+
+
 def test_realtime_crash_before_commit_is_invisible(rt_job, spark):
     """An uncommitted (crashed) segment directory is ignored by queries and
     clobbered by the retry — the pointer file is the commit point."""
