@@ -219,6 +219,23 @@ def main():
         must_not=["BroadcastExchange", "Bucketed: false"],
     )
 
+    # 11. the DRIVER entries' search families serve from the stored
+    # bucketed index (round-5 verdict next-round #1): the q35 entry's scan
+    # must carry PartitionFilters on word_bucket (probe pruned to the query
+    # terms' buckets) — not a re-tokenize of the documents corpus.
+    import __spark_entry__ as entrymod
+
+    q35 = entrymod.queries()["q35_postings_and_phrase"](
+        spark, "/root/testdata/sf0.001"
+    )
+    p = plan_of(q35)
+    plans["driver_q35_stored_probe"] = p
+    all_ok &= check(
+        "driver q35 probes the stored index with partition pruning", p,
+        must=["PartitionFilters: [word_bucket"],
+        must_not=[],
+    )
+
     with open("/root/repo/.cache/plans.txt", "w") as f:
         for k, v in plans.items():
             f.write(f"===== {k} =====\n{v}\n")
