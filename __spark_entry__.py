@@ -965,7 +965,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_knn_top1": _q25_knn_top1,
         "q26_label_centroid_sim": _q26_label_centroid_sim,
         "q28_sessionize": _q28_sessionize,
-        "q29_event_pivot": _q29_event_pivot,
         "q30_url_canonicalize": _q30_url_canonicalize,
         "q31_host_budget_agg": _q31_host_budget_agg,
         "q34_pagerank_suppliers": _q34_pagerank_suppliers,
@@ -993,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_clone_collapsed_rank": _q57_clone_collapsed_rank,
         "q58_query_after_filter": _q58_query_after_filter,
         "q59_query_link_filter": _q59_query_link_filter,
+        "q60_ispell_morphology": _q60_ispell_morphology,
         # --- tail: driver-verified-green since round 1, rotated past the
         # --- 50-row driver window (still in the local gate) ---
         "q03_order_priority": _q03_order_priority,
@@ -1004,7 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_supplier_nation": _q32_supplier_nation,
         "q33_revenue_q6": _q33_revenue_q6,
         "q42_rollup_orders": _q42_rollup_orders,
-        "q60_ispell_morphology": _q60_ispell_morphology,
+        "q29_event_pivot": _q29_event_pivot,
     }
 
 
