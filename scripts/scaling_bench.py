@@ -93,6 +93,7 @@ def main():
     runs: list[dict] = []
     pair_effs: list[float] = []
     ratio = N_HIGH / N_LOW
+    window_key: list[str | None] = [None]
     for i in range(REPEATS):
         # REVERSED-ORDER pair: 4N first — within-pair drift/warm-up residue
         # disadvantages the 4N leg, biasing this pair's efficiency DOWN
@@ -110,6 +111,27 @@ def main():
             json.dumps({"pair": i, "efficiency": round(eff_i, 3)}),
             flush=True,
         )
+        # evidence lands after EVERY pair (a killed run keeps its completed
+        # pairs; the window key is pinned on the first write)
+        _publish(runs, pair_effs, ratio, window_key)
+
+    print(json.dumps({"final_median": statistics.median(pair_effs)}),
+          flush=True)
+
+
+def _publish(
+    runs: list[dict],
+    pair_effs: list[float],
+    ratio: float,
+    window_key: list,
+) -> None:
+    """Build the summary over the pairs completed SO FAR and merge it into
+    BENCH_SCALING.json: each invocation lands under its own
+    protocol_{N}_to_{4N}[_windowK] key (pinned on the first write so later
+    pairs overwrite, not append), preserving earlier windows and the
+    effective_cores_evidence section (bench.py embeds BOTH estimators from
+    this file into the headline JSON — round-3 verdict #7)."""
+    import statistics
 
     median_eff = statistics.median(pair_effs)
     best = {
@@ -130,9 +152,11 @@ def main():
         "best_of_estimator": round(best_eff, 3),
         f"best_local{N_LOW}_urls_per_sec": best[N_LOW],
         f"best_local{N_HIGH}_urls_per_sec": best[N_HIGH],
-        "pairs": REPEATS,
+        "pairs": len(pair_effs),
+        "pairs_planned": REPEATS,
         "sf": runs[0]["sf"],
         "body_words": BODY_WORDS,
+        "web_pages": int(os.environ.get("SPARK_GRAFT_WEB_PAGES", "150000")),
         "pass_0_8": median_eff >= 0.8,
         # serial-barrier evidence: stages and jobs per steady-state round,
         # from the Spark event log (LOWER BOUND — tail may be unflushed)
@@ -140,22 +164,20 @@ def main():
         "jobs_per_round": min(job_counts) if job_counts else None,
     }
     print(json.dumps(summary), flush=True)
-    # MERGE into the evidence file: each invocation lands under its own
-    # protocol_{N}_to_{4N}[_windowK] key, preserving earlier windows and
-    # the effective_cores_evidence section (bench.py embeds BOTH estimators
-    # from this file into the headline JSON — round-3 verdict #7)
     path = os.path.join(REPO, "BENCH_SCALING.json")
     try:
         with open(path) as f:
             doc = json.load(f)
     except (OSError, ValueError):
         doc = {}
-    key = f"protocol_{N_LOW}_to_{N_HIGH}"
-    k, n = key, 2
-    while k in doc:
-        k = f"{key}_window{n}"
-        n += 1
-    doc[k] = {
+    if window_key[0] is None:
+        key = f"protocol_{N_LOW}_to_{N_HIGH}"
+        k, n = key, 2
+        while k in doc:
+            k = f"{key}_window{n}"
+            n += 1
+        window_key[0] = k
+    doc[window_key[0]] = {
         "runs": runs,
         "pair_lines": [
             {"pair": i, "efficiency": e} for i, e in enumerate(pair_effs)
@@ -163,8 +185,10 @@ def main():
         "summary": summary,
     }
     doc["summary"] = summary  # newest window also at top level
-    with open(path, "w") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(doc, f, indent=2)
+    os.replace(tmp, path)
 
 
 if __name__ == "__main__":
