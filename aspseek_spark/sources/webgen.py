@@ -103,8 +103,29 @@ def _messy_variant(url: str, rng: np.random.Generator) -> str:
         return url.replace("p", "%70", 1) if "/p" in path else url
     return url
 
+_WORDS_ARR = np.asarray(_WORDS, dtype=object)
 
-def generate_web(spec: WebSpec) -> dict[str, pa.Table]:
+
+def _extract_texts(htmls: list[bytes], pool) -> list[str]:
+    """``extract1`` over a batch, order-preserving; parallel when a pool is
+    given. extract1 is a pure function of the html bytes — the rng never
+    enters here — so process fan-out cannot perturb the fixture."""
+    if pool is None:
+        return [extract1(h) for h in htmls]
+    return pool.map(extract1, htmls, chunksize=max(1, len(htmls) // 64))
+
+
+def _generate_stream(spec: WebSpec, chunk_rows: int, pool=None):
+    """One sequential rng pass over the web — IDENTICAL draw order to the
+    original whole-table builder (content-hash-verified in
+    tests/test_webgen_stream.py) — yielded as ``("pages", chunk_table)``
+    every ``chunk_rows`` pages, then ``("seeds", t)`` and
+    ``("robots_src", t)``.
+
+    Streaming bounds peak memory at one chunk instead of the whole corpus:
+    the scaling fixture at realistic Common-Crawl page sizes (300k pages ×
+    ~74 KB html) is ~40 GB as a single in-memory table, which the old
+    builder materialized twice (python lists + arrow buffers)."""
     rng = np.random.default_rng(np.random.PCG64(spec.seed))
     n = spec.n_pages
     n_hosts = max(4, n // 50)
@@ -143,15 +164,39 @@ def generate_web(spec: WebSpec) -> dict[str, pa.Table]:
     n_dup = int(n * spec.dup_frac)
     dup_source = rng.integers(0, n, size=n_dup)
 
-    # bodies + links
+    # bodies + links — buffered per chunk, flushed as arrow tables
     htmls: list[bytes] = []
-    texts: list[str] = []
     langs: list[str] = []
     warc_ts: list[int] = []
     content_types: list[str] = []
     last_modified: list[int] = []
     etags: list[str | None] = []
+    chunk_start = 0
     body_cache: dict[int, str] = {}
+
+    def _flush(end: int):
+        nonlocal chunk_start
+        if end == chunk_start:
+            return None
+        texts = _extract_texts(htmls, pool)
+        tbl = pa.table(
+            {
+                "url": pa.array(urls[chunk_start:end], pa.string()),
+                "warc_ts": pa.array(warc_ts, pa.timestamp("us", tz="UTC")),
+                "html": pa.array(htmls, pa.binary()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+                "content_type": pa.array(content_types, pa.string()),
+                "last_modified": pa.array(last_modified, pa.int64()),
+                "etag": pa.array(etags, pa.string()),
+            }
+        )
+        for buf in (htmls, langs, warc_ts, content_types, last_modified,
+                    etags):
+            buf.clear()
+        chunk_start = end
+        return tbl
+
     for i in range(n):
         host = page_hosts[i]
         same = by_host[host]
@@ -179,20 +224,17 @@ def generate_web(spec: WebSpec) -> dict[str, pa.Table]:
         anchors = "\n".join(
             f'<a href="{h}">link {j}</a>' for j, h in enumerate(hrefs)
         )
+        # one body draw per page, ALWAYS (the original drew inside a
+        # setdefault argument, which evaluates unconditionally — preserving
+        # the draw keeps the rng stream byte-identical for dup pages too)
+        draw = rng.integers(0, len(_WORDS), spec.body_words)
         if i < n_dup:
             src = int(dup_source[i])
-            body_words = body_cache.setdefault(
-                src,
-                " ".join(
-                    _WORDS[int(w)]
-                    for w in rng.integers(0, len(_WORDS), spec.body_words)
-                ),
-            )
+            if src not in body_cache:
+                body_cache[src] = " ".join(_WORDS_ARR[draw])
+            body_words = body_cache[src]
         else:
-            body_words = " ".join(
-                _WORDS[int(w)]
-                for w in rng.integers(0, len(_WORDS), spec.body_words)
-            )
+            body_words = " ".join(_WORDS_ARR[draw])
         lang = _LANGS[int(rng.integers(0, len(_LANGS)))]
         kind = rng.random()
         if kind < spec.redirect_frac and n > 1:
@@ -233,7 +275,6 @@ def generate_web(spec: WebSpec) -> dict[str, pa.Table]:
                 f"</body></html>"
             ).encode("utf-8")
         htmls.append(html)
-        texts.append(extract1(html))
         langs.append(lang)
         warc_ts.append((EPOCH_UNIX - 86400 * 30 + i * 7) * 1_000_000)
         # S7/F5 metadata — i-based, NO rng draws (existing bytes unchanged)
@@ -252,6 +293,13 @@ def generate_web(spec: WebSpec) -> dict[str, pa.Table]:
             if spec.noetag_every and i % spec.noetag_every == 1
             else f'"{i:x}-{len(html):x}"'  # stable strong validator
         )
+        if (i + 1) % chunk_rows == 0:
+            tbl = _flush(i + 1)
+            if tbl is not None:
+                yield "pages", tbl
+    tbl = _flush(n)
+    if tbl is not None:
+        yield "pages", tbl
 
     # robots bodies
     r_hosts: list[str] = []
@@ -273,28 +321,61 @@ def generate_web(spec: WebSpec) -> dict[str, pa.Table]:
 
     # seeds: roots of the first seed_hosts_frac hosts (includes hot host 0)
     n_seed_hosts = max(2, int(n_hosts * spec.seed_hosts_frac))
-    seed_urls = [f"http://{h}/" for h in hosts[:n_seed_hosts] if f"http://{h}/" in seen_u]
-
-    pages = pa.table(
-        {
-            "url": pa.array(urls, pa.string()),
-            "warc_ts": pa.array(warc_ts, pa.timestamp("us", tz="UTC")),
-            "html": pa.array(htmls, pa.binary()),
-            "text": pa.array(texts, pa.string()),
-            "lang": pa.array(langs, pa.string()),
-            "content_type": pa.array(content_types, pa.string()),
-            "last_modified": pa.array(last_modified, pa.int64()),
-            "etag": pa.array(etags, pa.string()),
-        }
-    )
-    seeds = pa.table({"url": pa.array(seed_urls, pa.string())})
-    robots_src = pa.table(
+    seed_urls = [
+        f"http://{h}/" for h in hosts[:n_seed_hosts] if f"http://{h}/" in seen_u
+    ]
+    yield "seeds", pa.table({"url": pa.array(seed_urls, pa.string())})
+    yield "robots_src", pa.table(
         {
             "host": pa.array(r_hosts, pa.string()),
             "body": pa.array(r_bodies, pa.binary()),
         }
     )
-    return {"pages": pages, "seeds": seeds, "robots_src": robots_src}
+
+
+def _make_pool(spec: WebSpec):
+    """A fork Pool for the text-extraction fan-out, or None for small webs
+    (where pool start-up would dominate and serial output is identical)."""
+    if spec.n_pages * max(spec.body_words, 40) < 20_000_000:
+        return None
+    import multiprocessing as mp
+
+    try:
+        return mp.get_context("fork").Pool(min(24, os.cpu_count() or 4))
+    except (OSError, ValueError):
+        return None
+
+
+def _est_row_bytes(spec: WebSpec) -> int:
+    """Raw bytes/page estimate for chunk/row-group sizing: html + golden
+    text are each ~6.5 bytes/word, plus anchors/head boilerplate."""
+    return spec.body_words * 13 + 900
+
+
+def generate_web(spec: WebSpec) -> dict[str, pa.Table]:
+    pool = _make_pool(spec)
+    try:
+        tables: dict[str, pa.Table] = {}
+        chunks: list[pa.Table] = []
+        chunk_rows = max(256, (64 << 20) // _est_row_bytes(spec))
+        for name, tbl in _generate_stream(spec, chunk_rows, pool):
+            if name == "pages":
+                chunks.append(tbl)
+            else:
+                tables[name] = tbl
+        tables["pages"] = (
+            chunks[0] if len(chunks) == 1 else pa.concat_tables(chunks)
+        )
+        return tables
+    finally:
+        if pool is not None:
+            pool.close()
+
+
+def _group_rows(tbl: pa.Table) -> int:
+    rows = max(1, tbl.num_rows)
+    avg_row = max(1, tbl.nbytes // rows)
+    return max(64, min(1 << 20, (32 << 20) // avg_row))
 
 
 def write_web(out_dir: str, spec: WebSpec) -> dict[str, str]:
@@ -306,15 +387,31 @@ def write_web(out_dir: str, spec: WebSpec) -> dict[str, str]:
     the whole fetch→parse pipeline above it) run as ONE task regardless of
     cluster size. Splittable row groups are what makes the pages side
     scan-parallel, exactly like a production WARC/Iceberg layout.
-    """
+
+    The pages table streams through a ParquetWriter chunk by chunk (one
+    sequential generation pass, peak memory = one chunk), so scaling webs
+    at realistic page sizes never materialize the multi-GB corpus."""
     os.makedirs(out_dir, exist_ok=True)
-    tables = generate_web(spec)
-    paths = {}
-    for name, table in tables.items():
-        path = os.path.join(out_dir, f"{name}.parquet")
-        rows = max(1, table.num_rows)
-        avg_row = max(1, table.nbytes // rows)
-        group_rows = max(64, min(1 << 20, (32 << 20) // avg_row))
-        pq.write_table(table, path, row_group_size=group_rows)
-        paths[name] = path
+    pool = _make_pool(spec)
+    paths: dict[str, str] = {}
+    writer: pq.ParquetWriter | None = None
+    group_rows: int | None = None
+    try:
+        chunk_rows = max(256, (64 << 20) // _est_row_bytes(spec))
+        for name, tbl in _generate_stream(spec, chunk_rows, pool):
+            path = os.path.join(out_dir, f"{name}.parquet")
+            if name == "pages":
+                if writer is None:
+                    writer = pq.ParquetWriter(path, tbl.schema)
+                    group_rows = _group_rows(tbl)
+                    paths[name] = path
+                writer.write_table(tbl, row_group_size=group_rows)
+            else:
+                pq.write_table(tbl, path, row_group_size=_group_rows(tbl))
+                paths[name] = path
+    finally:
+        if writer is not None:
+            writer.close()
+        if pool is not None:
+            pool.close()
     return paths

@@ -103,7 +103,9 @@ def ensure_bench_web(sf: float) -> str:
     )
     body_words = int(os.environ.get("SPARK_GRAFT_BODY_WORDS", "40"))
     suffix = f"_w{body_words}" if body_words != 40 else ""
-    out = os.path.join(REPO, ".cache", f"web_n{n_pages}{suffix}_s42_v6")
+    # v7: webgen streams through a ParquetWriter (content identical —
+    # pinned-hash-tested — but row-group byte layout differs from v6)
+    out = os.path.join(REPO, ".cache", f"web_n{n_pages}{suffix}_s42_v7")
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):
         return out
