@@ -69,6 +69,16 @@ def run_at(cpus: int) -> dict:
         SPARK_GRAFT_WEB_PAGES=os.environ.get("SPARK_GRAFT_WEB_PAGES", "150000"),
         SPARK_GRAFT_TIMED_ROUNDS=os.environ.get("SPARK_GRAFT_TIMED_ROUNDS", "3"),
     )
+    # process-tree CPU accounting: RUSAGE_CHILDREN deltas around the leg
+    # capture the whole bench subprocess tree (JVM + Python workers roll up
+    # when the child is reaped). For IDENTICAL work, cpu_core_s ~constant +
+    # wall varying means the HOST withheld cores (steal/frequency); cpu
+    # inflating with wall would mean the engine itself did more work.
+    import resource
+    import time as _time
+
+    r0 = resource.getrusage(resource.RUSAGE_CHILDREN)
+    w0 = _time.time()
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
@@ -78,13 +88,20 @@ def run_at(cpus: int) -> dict:
         # (tens of minutes at large body_words) — budget for it
         timeout=10800,
     )
+    r1 = resource.getrusage(resource.RUSAGE_CHILDREN)
+    wall = _time.time() - w0
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
     if not lines:
         raise RuntimeError(
             f"bench at local[{cpus}] produced no JSON:\n{out.stdout[-2000:]}"
             f"\n{out.stderr[-2000:]}"
         )
-    return json.loads(lines[-1])
+    row = json.loads(lines[-1])
+    cpu = (r1.ru_utime - r0.ru_utime) + (r1.ru_stime - r0.ru_stime)
+    row["leg_cpu_core_s"] = round(cpu, 1)
+    row["leg_wall_s"] = round(wall, 1)
+    row["leg_avg_cores"] = round(cpu / wall, 2) if wall else None
+    return row
 
 
 # ---- host-capacity probe (round-6 drift control) --------------------------
