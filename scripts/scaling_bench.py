@@ -79,15 +79,20 @@ def run_at(cpus: int) -> dict:
 
     r0 = resource.getrusage(resource.RUSAGE_CHILDREN)
     w0 = _time.time()
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env,
-        capture_output=True,
-        text=True,
-        # the FIRST leg may also pay the one-time web-cache generation
-        # (tens of minutes at large body_words) — budget for it
-        timeout=10800,
-    )
+    canary = _Canary()
+    canary.start()
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            # the FIRST leg may also pay the one-time web-cache generation
+            # (tens of minutes at large body_words) — budget for it
+            timeout=10800,
+        )
+    finally:
+        canary.stop()
     r1 = resource.getrusage(resource.RUSAGE_CHILDREN)
     wall = _time.time() - w0
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
@@ -101,7 +106,73 @@ def run_at(cpus: int) -> dict:
     row["leg_cpu_core_s"] = round(cpu, 1)
     row["leg_wall_s"] = round(wall, 1)
     row["leg_avg_cores"] = round(cpu / wall, 2) if wall else None
+    row.update(canary.stats())
     return row
+
+
+class _Canary:
+    """One spare core's worth of fixed busy-loop work, run CONTINUOUSLY
+    while a leg executes (the box has 32 vCPUs; a leg occupies ≤8, so the
+    canary is uncontended by the leg itself). The guest exposes no cpufreq
+    sysfs and /proc/cpuinfo is pinned at 2700 MHz, so concurrently-delivered
+    per-core capacity is only observable by measuring it: each canary
+    iteration times the same loop the pre-leg gate probe uses. A leg whose
+    canary median is 2× the clean baseline ran on a host delivering half
+    the cycles — the capacity-adjusted efficiency in the summary divides
+    that back out (raw numbers always published alongside)."""
+
+    def __init__(self):
+        import threading
+
+        self._stop = threading.Event()
+        self._durations: list[float] = []
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def start(self):
+        self._thread.start()
+
+    def _run(self):
+        # separate PROCESS per iteration would be cleaner GIL-wise, but the
+        # parent is idle (blocked in subprocess.run) so a thread suffices
+        # and can't orphan work on leg timeout
+        import subprocess as sp
+        import sys as _sys
+        import time as _t
+
+        code = (
+            "import time\n"
+            "t0=time.time()\n"
+            "s=0\n"
+            f"for i in range({_PROBE_N // 3}): s+=i*i\n"
+            "print(time.time()-t0)\n"
+        )
+        while not self._stop.is_set():
+            try:
+                r = sp.run([_sys.executable, "-c", code],
+                           capture_output=True, text=True, timeout=120)
+                self._durations.append(float(r.stdout.strip()))
+            except Exception:
+                pass
+            _t.sleep(2.0)
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join(timeout=130)
+
+    def stats(self) -> dict:
+        import statistics
+
+        d = sorted(self._durations)
+        if not d:
+            return {"canary_n": 0}
+        return {
+            "canary_n": len(d),
+            # seconds per fixed canary work unit (10M-iter loop): the
+            # inverse of delivered per-core capacity during the leg
+            "canary_median_s": round(statistics.median(d), 3),
+            "canary_p25_s": round(d[len(d) // 4], 3),
+            "canary_p75_s": round(d[(3 * len(d)) // 4], 3),
+        }
 
 
 # ---- host-capacity probe (round-6 drift control) --------------------------
@@ -206,10 +277,18 @@ def main():
         print(json.dumps({"probe": post}), flush=True)
         eff_i = (hi["value"] / lo["value"]) / ratio
         pair_effs.append(round(eff_i, 3))
+        # capacity-adjusted: divide each leg's throughput by the per-core
+        # capacity its canary measured concurrently (thr × canary_s =
+        # urls per delivered-cycle-unit) — the estimator a real cluster's
+        # isolated, stable-clock executors would measure directly
+        c_hi = hi.get("canary_median_s")
+        c_lo = lo.get("canary_median_s")
+        adj = round(eff_i * c_hi / c_lo, 3) if c_hi and c_lo else None
         pair_meta.append(
             {
                 "pair": i,
                 "efficiency": round(eff_i, 3),
+                "adjusted_efficiency": adj,
                 # clean = host delivered full capacity at both leg starts
                 # AND right after the pair — bursts inside a leg can still
                 # slip through; sustained interference cannot
@@ -219,6 +298,7 @@ def main():
         )
         print(
             json.dumps({"pair": i, "efficiency": round(eff_i, 3),
+                        "adjusted_efficiency": adj,
                         "clean": pair_meta[-1]["clean"]}),
             flush=True,
         )
@@ -285,6 +365,21 @@ def _publish(
         summary["clean_pass_0_8"] = (
             bool(summary["clean_median"] >= 0.8) if clean_effs else False
         )
+        adj_effs = [
+            m["adjusted_efficiency"]
+            for m in pair_meta
+            if m.get("adjusted_efficiency") is not None
+        ]
+        if adj_effs:
+            summary["adjusted_pair_efficiencies"] = adj_effs
+            summary["adjusted_median"] = round(statistics.median(adj_effs), 3)
+            summary["adjusted_note"] = (
+                "each leg's throughput divided by the per-core capacity a "
+                "concurrent spare-core canary measured DURING that leg "
+                "(guest exposes no cpufreq; delivered cycles swing ~2x "
+                "with neighbor load) — the isolated-executor estimator; "
+                "raw pair efficiencies always published alongside"
+            )
         summary["probe_gate"] = {
             "t1_max_s": T1_MAX,
             "cores4_min": CORES4_MIN,
