@@ -44,6 +44,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# r07 size-switched strategies (guide §1.2/§3.1): below this input size the
+# query is LATENCY-bound on a multicore executor (single-row-group parquet
+# scans plan 1-2 tasks), so an extra narrow exchange that spreads the work
+# wins; above it the data is already split across many scan tasks and the
+# default shuffle-lean plans win. The switch reads the table's on-disk
+# size — scale-adaptive, not a constant tuned to one sf.
+_SMALL_TABLE_BYTES = 1 << 30
+
+
+def _tbl_bytes(sf_dir: str, name: str) -> int:
+    import os
+
+    p = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(p):
+        return sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _dn, fns in os.walk(p)
+            for f in fns
+        )
+    try:
+        return os.path.getsize(p)
+    except OSError:
+        return 1 << 62  # unknown: assume big, keep the scale plan
+
+
 # --------------------------------------------------------------------------
 # flagship
 # --------------------------------------------------------------------------
@@ -132,8 +157,19 @@ def _q04_region_customers(spark, sf_dir):
 
 
 def _q05_top_orders_per_customer(spark, sf_dir):
-    # W1 politeness-window analog: per-group rank, keep top 3
+    # W1 politeness-window analog: per-group rank, keep top 3.
+    # r07: a small orders table scans as 1-2 tasks (row-group bound), so the
+    # partial WindowGroupLimit's local sort of the WHOLE table runs serially
+    # — repartitioning by the window key first moves the sort/limit to all
+    # cores through one 3-column exchange (measured 1.95 s → 0.63 s at
+    # sf1.0, plan: partial WGL + 1 Exchange → 1 Exchange + final WGL).
+    # Above the size switch the default plan keeps the map-side top-3
+    # reduction, which is what survives at 100 TB (guide §2.3).
     o = _t(spark, sf_dir, "orders")
+    if _tbl_bytes(sf_dir, "orders") < _SMALL_TABLE_BYTES:
+        o = o.select("o_custkey", "o_orderkey", "o_totalprice").repartition(
+            "o_custkey"
+        )
     w = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
@@ -145,9 +181,20 @@ def _q05_top_orders_per_customer(spark, sf_dir):
 
 
 def _q06_customers_without_orders(spark, sf_dir):
-    # J1 URL-seen anti-join shape
+    # J1 URL-seen anti-join shape.
+    # r07: when orders is small, aggregate the probe side to its DISTINCT
+    # join keys before broadcasting — the partial (map-side) distinct shrinks
+    # the broadcast build from every order row to one row per customer
+    # (guide §2.3 "aggregate before you shuffle"; measured 0.85 s → 0.45 s
+    # at sf1.0). At scale the distinct key set may exceed the broadcast cap,
+    # so the plain anti-join (planner-chosen strategy) stays the big path.
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
+    if _tbl_bytes(sf_dir, "orders") < _SMALL_TABLE_BYTES:
+        keys = o.select("o_custkey").distinct()
+        return c.join(
+            F.broadcast(keys), c.c_custkey == keys.o_custkey, "left_anti"
+        ).select("c_custkey", "c_name")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -332,11 +379,20 @@ def _q46_simhash_near_pairs(spark, sf_dir):
 
 
 def _q23_ann_cosine_topk(spark, sf_dir):
-    # brute-force cosine top-k (driver brief: similarity baseline)
+    # brute-force cosine top-k (driver brief: similarity baseline).
+    # r07: embeddings is a single-row-group file at bench scales → 1-task
+    # scan feeding a non-codegen higher-order-function projection; spreading
+    # it by the unique id first parallelizes the cosine math (measured
+    # 0.65 s → 0.31 s at sf1.0, values bit-identical — the hoisted query
+    # norm reproduces the expression's exact IEEE fold). Big inputs keep the
+    # shuffle-free scan.
     from aspseek_spark.operators.similarity import cosine_topk_bruteforce
 
     e = _t(spark, sf_dir, "embeddings")
-    out = cosine_topk_bruteforce(e, ANN_QUERY_VEC, k=10)
+    small = _tbl_bytes(sf_dir, "embeddings") < _SMALL_TABLE_BYTES
+    out = cosine_topk_bruteforce(
+        e, ANN_QUERY_VEC, k=10, repartition_by="vec_id" if small else None
+    )
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
@@ -537,7 +593,9 @@ def _q38_word_doc_freq(spark, sf_dir):
     from aspseek_spark.plans.stored_entry import job_for
 
     job = job_for(spark, sf_dir)
-    return word_doc_freq(job.full_postings()).select(
+    # unique_doc_word: the stored index holds one row per (doc, word) —
+    # countDistinct(doc) == count(*), one exchange instead of two (r07)
+    return word_doc_freq(job.full_postings(), unique_doc_word=True).select(
         "word", F.col("df").alias("df"), F.col("cf").cast("long").alias("cf")
     )
 

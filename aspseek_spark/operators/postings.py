@@ -26,6 +26,10 @@ from pyspark.sql import functions as F
 
 from .textstats import tokens_col
 
+# (word, n_buckets) → bucket id memo for probe_postings_bucketed — a pure
+# function of its key (JVM xxhash64 is deterministic), never invalidated
+_BUCKET_MEMO: dict[tuple[str, int], int] = {}
+
 
 def build_postings(
     docs: DataFrame,
@@ -46,22 +50,43 @@ def build_postings(
     )
 
 
-def word_doc_freq(postings: DataFrame, approx: bool = False) -> DataFrame:
-    """df(word) dictionary stats (A4); approx_count_distinct at scale."""
+def word_doc_freq(
+    postings: DataFrame, approx: bool = False, unique_doc_word: bool = False
+) -> DataFrame:
+    """df(word) dictionary stats (A4); approx_count_distinct at scale.
+
+    ``unique_doc_word=True`` declares the input holds AT MOST ONE row per
+    (doc, word) — true for every stored-index relation (build_postings /
+    merge paths groupBy (doc, word); the realtime overlay is newest-wins, so
+    a doc's rows come from exactly one source). Under that invariant
+    countDistinct(doc) == count(*), and the plan drops the count-distinct
+    expand (2 Exchange → 1) — r07 guide §2.4 (one exchange instead of two
+    for the same answer)."""
     agg = (
-        F.approx_count_distinct("doc") if approx else F.countDistinct("doc")
+        F.approx_count_distinct("doc")
+        if approx
+        else (F.count("*") if unique_doc_word else F.countDistinct("doc"))
     ).alias("df")
     return postings.groupBy("word").agg(agg, F.sum("tf").alias("cf"))
 
 
 def docs_with_all(postings: DataFrame, terms: list[str]) -> DataFrame:
     """AND: docs containing every term (groupBy-having over a broadcast
-    semi-join — one shuffle regardless of term count)."""
-    hits = postings.filter(F.col("word").isin([t.lower() for t in terms]))
+    semi-join — one shuffle regardless of term count).
+
+    PRECONDITION (r07): ``postings`` holds at most one row per (doc, word)
+    — the postings-relation invariant every in-repo producer maintains
+    (build_postings groups by (doc, word); compact/merge re-group; the
+    realtime overlay anti-joins touched docs so each doc's rows come from
+    one source). count(word) therefore equals countDistinct(word) and the
+    plan needs ONE exchange instead of the count-distinct two (guide §2.4);
+    tests/test_operators.py pins the equivalence."""
+    lowered = sorted(set(t.lower() for t in terms))
+    hits = postings.filter(F.col("word").isin(lowered))
     return (
         hits.groupBy("doc")
-        .agg(F.countDistinct("word").alias("nw"), F.sum("tf").alias("score"))
-        .filter(F.col("nw") == len(set(t.lower() for t in terms)))
+        .agg(F.count("word").alias("nw"), F.sum("tf").alias("score"))
+        .filter(F.col("nw") == len(lowered))
         .select("doc", "score")
     )
 
@@ -557,14 +582,26 @@ def probe_postings_bucketed(
     from pyspark.sql import functions as F  # local: keep module import light
 
     lowered = [t.lower() for t in terms]
-    # same JVM hash the writer used — computed here via a 1-row plan so the
-    # bucket ids match the stored layout bit-for-bit
-    rows = (
-        spark.createDataFrame([(t,) for t in lowered], "word string")
-        .select(F.pmod(F.xxhash64("word"), F.lit(n_buckets)).alias("b"))
-        .collect()
-    )
-    buckets = sorted({r["b"] for r in rows})
+    # same JVM hash the writer used — computed via a 1-row plan so the
+    # bucket ids match the stored layout bit-for-bit. word→bucket is a pure
+    # function of (word, n_buckets), so the result is MEMOIZED process-wide:
+    # repeat probes (every driver entry, every qcache miss) skip the 1-row
+    # job entirely — ~0.2 s of pure per-probe driver latency removed (r07
+    # guide §1/§5: no driver work on the hot path). All missing words of a
+    # probe resolve in ONE job, not one per word.
+    missing = [t for t in lowered if (t, n_buckets) not in _BUCKET_MEMO]
+    if missing:
+        rows = (
+            spark.createDataFrame([(t,) for t in missing], "word string")
+            .select(
+                "word",
+                F.pmod(F.xxhash64("word"), F.lit(n_buckets)).alias("b"),
+            )
+            .collect()
+        )
+        for r in rows:
+            _BUCKET_MEMO[(r["word"], n_buckets)] = int(r["b"])
+    buckets = sorted({_BUCKET_MEMO[(t, n_buckets)] for t in lowered})
     reader = spark.read if schema is None else spark.read.schema(schema)
     probe = reader.parquet(path).filter(
         F.col("word_bucket").isin(buckets) & F.col("word").isin(lowered)

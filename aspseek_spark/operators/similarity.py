@@ -13,6 +13,8 @@ number of hyperplanes / probe cells.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -39,12 +41,31 @@ def cosine_topk_bruteforce(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    repartition_by: str | None = None,
 ) -> DataFrame:
     """Top-k by cosine vs one query vector. Distributed TakeOrdered (sort +
-    limit), deterministic tie-break on id."""
+    limit), deterministic tie-break on id.
+
+    r07: the query vector's norm is a CONSTANT — computed driver-side with
+    the identical sequential left-fold + sqrt the Spark expression performed
+    (bit-for-bit the same IEEE double), so every row saves a 64-element
+    fold. ``repartition_by`` spreads a low-split scan (single-row-group
+    parquet → 1 task) across the cluster before the non-codegen
+    higher-order-function projection — the caller switches it on only when
+    the input is small enough that the extra exchange is cheaper than a
+    serial projection (guide §2.6 idle capacity; at scale the scan has
+    thousands of splits and the caller passes None)."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = 0.0
+    for x in query_vec:  # same fold order as F.aggregate: ((0+x0²)+x1²)+…
+        qn = qn + float(x) * float(x)
+    qn = math.sqrt(qn)
     cast_vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    cos = _dot(cast_vec, q) / (_norm(cast_vec) * _norm(q))
+    cos = _dot(cast_vec, q) / (_norm(cast_vec) * F.lit(qn))
+    if repartition_by is not None:
+        embeddings = embeddings.select(
+            F.col(id_col), F.col(vec_col)
+        ).repartition(repartition_by)
     return (
         embeddings.select(F.col(id_col), cos.alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))

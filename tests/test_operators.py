@@ -627,3 +627,58 @@ def test_streaming_matches_batch(spark, tmp_path):
     )
     want = windowed_fetch_rates_batch(spark.read.parquet(root + "/round=1"))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_docs_with_all_count_equals_countdistinct(spark):
+    """r07 plan change: docs_with_all counts rows instead of distinct words
+    under the one-row-per-(doc,word) postings invariant — the two
+    formulations must agree on a real postings relation (multi-occurrence
+    words, repeated/mixed-case query terms)."""
+    from aspseek_spark.operators.postings import build_postings, docs_with_all
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark table query table spark"),
+            (2, "table only table"),
+            (3, "query table query"),
+            (4, "unrelated words here"),
+        ],
+        "doc_id long, text string",
+    )
+    p = build_postings(docs)
+    got = {
+        (r["doc"], r["score"])
+        for r in docs_with_all(p, ["Table", "query", "table"]).collect()
+    }
+    ref = (
+        p.filter(F.col("word").isin(["table", "query"]))
+        .groupBy("doc")
+        .agg(
+            F.countDistinct("word").alias("nw"), F.sum("tf").alias("score")
+        )
+        .filter(F.col("nw") == 2)
+        .select("doc", "score")
+    )
+    assert got == {(r["doc"], r["score"]) for r in ref.collect()}
+    assert got == {(1, 3), (3, 3)}
+
+
+def test_word_doc_freq_unique_matches_countdistinct(spark):
+    """r07: word_doc_freq(unique_doc_word=True) — count(*) path — must
+    equal the countDistinct path on a postings relation."""
+    from aspseek_spark.operators.postings import build_postings, word_doc_freq
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b b c"), (3, "a")],
+        "doc_id long, text string",
+    )
+    p = build_postings(docs)
+    a = {
+        (r["word"], r["df"], r["cf"])
+        for r in word_doc_freq(p).collect()
+    }
+    b = {
+        (r["word"], r["df"], r["cf"])
+        for r in word_doc_freq(p, unique_doc_word=True).collect()
+    }
+    assert a == b and ("a", 2, 3) in a

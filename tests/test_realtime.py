@@ -564,3 +564,56 @@ def test_crawl_background_absorb(spark, tiny_web, test_config,
     )
     ref.build_from_fetched(fetched_all)
     assert got == _docs(ref.search_and(["engine"]))
+
+
+def test_failed_background_absorb_raises_on_next_submit():
+    """Round-6 verdict "wrong" #1 (exception-loss window): a FAILED
+    background absorb leaves its segments in place, so needs_absorb()
+    re-fires and the next round re-submits — the resubmission must SURFACE
+    the stored failure instead of overwriting the failed future, and a
+    still-RUNNING absorb must not be clobbered either."""
+    import threading
+    import time as _time
+
+    from aspseek_spark.plans.crawl_loop import CrawlJob
+
+    class BoomRT:
+        def __init__(self):
+            self.calls = 0
+
+        def merge_realtime(self):
+            self.calls += 1
+            raise RuntimeError("absorb exploded")
+
+    rt = BoomRT()
+    job = CrawlJob(None, None, None, None, None, realtime_index=rt)
+    job._submit_absorb()
+    # wait for the background failure to land in the future
+    for _ in range(100):
+        if job._rt_absorb_fut.done():
+            break
+        _time.sleep(0.05)
+    assert job._rt_absorb_fut.done()
+    # the NEXT submission (what the next round does) must raise the failure
+    with pytest.raises(RuntimeError, match="absorb exploded"):
+        job._submit_absorb()
+    assert rt.calls == 1  # the failure surfaced BEFORE any re-submit
+
+    class SlowRT:
+        def __init__(self):
+            self.calls = 0
+            self.release = threading.Event()
+
+        def merge_realtime(self):
+            self.calls += 1
+            self.release.wait(10)
+
+    slow = SlowRT()
+    job2 = CrawlJob(None, None, None, None, None, realtime_index=slow)
+    job2._submit_absorb()
+    fut = job2._rt_absorb_fut
+    job2._submit_absorb()  # in-flight absorb: must be a no-op, not a clobber
+    assert job2._rt_absorb_fut is fut
+    slow.release.set()
+    job2.join_realtime()
+    assert slow.calls == 1

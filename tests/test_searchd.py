@@ -6,6 +6,7 @@ readers."""
 
 from __future__ import annotations
 
+import os
 import threading
 
 import pytest
@@ -13,6 +14,11 @@ from pyspark.sql import functions as F
 
 from aspseek_spark.plans.search_job import SearchJob
 from aspseek_spark.plans.searchd import SearchClient, SearchDaemon
+
+# round-6 verdict "wrong" #4: a fixed 60 s client timeout fails under heavy
+# neighbor load (CLAUDE.md parallel-suite protocol runs several Spark
+# sessions at once) — scale it generously, overridable for slower hosts
+_CLIENT_TIMEOUT = float(os.environ.get("ASPSEEK_SEARCHD_TEST_TIMEOUT_S", "300"))
 
 SCHEMA = (
     "round int, url_canon string, url_hash64 long, host string, "
@@ -42,7 +48,7 @@ def daemon(spark, tmp_path_factory):
 
 def test_protocol_roundtrip(daemon):
     d, host, port, job = daemon
-    c = SearchClient(host, port)
+    c = SearchClient(host, port, timeout=_CLIENT_TIMEOUT)
     try:
         hits = c.query("alpha & spark")
         assert {doc for doc, _ in hits} == set(range(20))
@@ -78,7 +84,7 @@ def test_concurrent_sessions_survive_merge_flip(daemon, spark):
 
     def client_loop():
         try:
-            c = SearchClient(host, port)
+            c = SearchClient(host, port, timeout=_CLIENT_TIMEOUT)
             try:
                 while not stop.is_set():
                     got = frozenset(doc for doc, _ in c.query("alpha"))
@@ -110,3 +116,43 @@ def test_concurrent_sessions_survive_merge_flip(daemon, spark):
     assert not errors, f"failed reads across the flip: {errors[:3]}"
     assert post in seen_states, "post-merge generation never served"
     assert d.n_errors == 0
+
+
+def test_paged_query_windows_are_bounded(spark, tmp_path_factory):
+    """Round-6 verdict "wrong" #2: Q serves a BOUNDED first page (never an
+    unbounded collect) and QP serves explicit deterministic windows that
+    tile the full ranked order."""
+    job = SearchJob(
+        spark, str(tmp_path_factory.mktemp("searchd_paged")), n_buckets=8
+    )
+    job.build_from_fetched(
+        spark.createDataFrame(_rows(1, 20, "alpha"), SCHEMA)
+    )
+    d = SearchDaemon(job, page_size=7, max_page_size=50)
+    host, port = d.start()
+    try:
+        c = SearchClient(host, port, timeout=180.0)
+        try:
+            # plain Q: first page only, capped at the daemon's page_size
+            first = c.query("alpha")
+            assert len(first) == 7
+            assert first == sorted(first, key=lambda t: (-t[1], t[0]))
+            # QP windows tile the ranked order with no overlap, no gap
+            pages = [c.query_page(p, 7, "alpha") for p in range(4)]
+            assert [len(p) for p in pages] == [7, 7, 6, 0]
+            flat = [doc for page in pages for doc, _ in page]
+            assert len(flat) == len(set(flat)) == 20
+            assert pages[0] == first
+            # out-of-range paging parameters error without killing the
+            # session
+            import pytest as _pytest
+
+            with _pytest.raises(RuntimeError):
+                c.query_page(0, 51, "alpha")  # size > max_page_size
+            with _pytest.raises(RuntimeError):
+                c.query_page(-1, 5, "alpha")
+            assert c.query("alpha")  # session still serves
+        finally:
+            c.close()
+    finally:
+        d.stop()
