@@ -187,3 +187,92 @@ class CuckooFilter:
             n_buckets, cls.SLOTS
         ).copy()
         return cls(n_buckets, table)
+
+
+# -- pure-Python XXH64 (r07) --------------------------------------------------
+# The standard public XXH64 algorithm (Yann Collet's xxHash, public spec),
+# matching Spark's ``F.xxhash64`` on a string column bit-for-bit: Spark
+# hashes the UTF-8 bytes with seed 42. Used by
+# operators/postings.probe_postings_bucketed to compute word→bucket routing
+# DRIVER-SIDE with no Spark job at all — the probe hot path pays zero jobs
+# for bucket selection (parity-tested against the JVM in
+# tests/test_operators.py::test_python_xxhash64_matches_spark).
+
+_M64 = (1 << 64) - 1
+_P64_1 = 0x9E3779B185EBCA87
+_P64_2 = 0xC2B2AE3D27D4EB4F
+_P64_3 = 0x165667B19E3779F9
+_P64_4 = 0x85EBCA77C2B2AE63
+_P64_5 = 0x27D4EB2F165667C5
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xx_round(acc: int, inp: int) -> int:
+    acc = (acc + inp * _P64_2) & _M64
+    return (_rotl64(acc, 31) * _P64_1) & _M64
+
+
+def _xx_merge(h: int, v: int) -> int:
+    h ^= _xx_round(0, v)
+    return (h * _P64_1 + _P64_4) & _M64
+
+
+def xxhash64_bytes(data: bytes, seed: int = 42) -> int:
+    """XXH64(data, seed) as an UNSIGNED 64-bit int (spec-faithful)."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P64_1 + _P64_2) & _M64
+        v2 = (seed + _P64_2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P64_1) & _M64
+        while i <= n - 32:
+            v1 = _xx_round(v1, int.from_bytes(data[i:i + 8], "little"))
+            v2 = _xx_round(v2, int.from_bytes(data[i + 8:i + 16], "little"))
+            v3 = _xx_round(v3, int.from_bytes(data[i + 16:i + 24], "little"))
+            v4 = _xx_round(v4, int.from_bytes(data[i + 24:i + 32], "little"))
+            i += 32
+        h = (
+            _rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12)
+            + _rotl64(v4, 18)
+        ) & _M64
+        h = _xx_merge(h, v1)
+        h = _xx_merge(h, v2)
+        h = _xx_merge(h, v3)
+        h = _xx_merge(h, v4)
+    else:
+        h = (seed + _P64_5) & _M64
+    h = (h + n) & _M64
+    while i <= n - 8:
+        h ^= _xx_round(0, int.from_bytes(data[i:i + 8], "little"))
+        h = (_rotl64(h, 27) * _P64_1 + _P64_4) & _M64
+        i += 8
+    if i <= n - 4:
+        h ^= (int.from_bytes(data[i:i + 4], "little") * _P64_1) & _M64
+        h = (_rotl64(h, 23) * _P64_2 + _P64_3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P64_5) & _M64
+        h = (_rotl64(h, 11) * _P64_1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P64_2) & _M64
+    h ^= h >> 29
+    h = (h * _P64_3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def spark_xxhash64(s: str, seed: int = 42) -> int:
+    """Spark's ``F.xxhash64(string_col)``: XXH64 over the UTF-8 bytes,
+    seed 42, returned as SIGNED int64 (Spark's long)."""
+    h = xxhash64_bytes(s.encode("utf-8"), seed)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def spark_pmod_xxhash64(s: str, n: int, seed: int = 42) -> int:
+    """``F.pmod(F.xxhash64(s), n)`` driver-side (non-negative bucket id)."""
+    return spark_xxhash64(s, seed) % n

@@ -24,10 +24,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import spark_pmod_xxhash64
 from .textstats import tokens_col
 
 # (word, n_buckets) → bucket id memo for probe_postings_bucketed — a pure
-# function of its key (JVM xxhash64 is deterministic), never invalidated
+# function of its key (xxhash64 is deterministic), never invalidated
 _BUCKET_MEMO: dict[tuple[str, int], int] = {}
 
 
@@ -582,26 +583,18 @@ def probe_postings_bucketed(
     from pyspark.sql import functions as F  # local: keep module import light
 
     lowered = [t.lower() for t in terms]
-    # same JVM hash the writer used — computed via a 1-row plan so the
-    # bucket ids match the stored layout bit-for-bit. word→bucket is a pure
-    # function of (word, n_buckets), so the result is MEMOIZED process-wide:
-    # repeat probes (every driver entry, every qcache miss) skip the 1-row
-    # job entirely — ~0.2 s of pure per-probe driver latency removed (r07
-    # guide §1/§5: no driver work on the hot path). All missing words of a
-    # probe resolve in ONE job, not one per word.
-    missing = [t for t in lowered if (t, n_buckets) not in _BUCKET_MEMO]
-    if missing:
-        rows = (
-            spark.createDataFrame([(t,) for t in missing], "word string")
-            .select(
-                "word",
-                F.pmod(F.xxhash64("word"), F.lit(n_buckets)).alias("b"),
-            )
-            .collect()
+    # same hash family the writer used (JVM xxhash64 seed 42 over UTF-8),
+    # reproduced DRIVER-SIDE by the spec-faithful pure-Python XXH64
+    # (functions/hashing.spark_pmod_xxhash64, parity-tested against the JVM
+    # bit-for-bit) and memoized — until r07 this was a 1-row Spark job per
+    # probe call, ~0.2-0.3 s of pure driver latency on EVERY cold search
+    # entry (guide §1/§5: the driver should do no data work on a hot path).
+    buckets = sorted({
+        _BUCKET_MEMO.setdefault(
+            (t, n_buckets), spark_pmod_xxhash64(t, n_buckets)
         )
-        for r in rows:
-            _BUCKET_MEMO[(r["word"], n_buckets)] = int(r["b"])
-    buckets = sorted({_BUCKET_MEMO[(t, n_buckets)] for t in lowered})
+        for t in lowered
+    })
     reader = spark.read if schema is None else spark.read.schema(schema)
     probe = reader.parquet(path).filter(
         F.col("word_bucket").isin(buckets) & F.col("word").isin(lowered)

@@ -167,6 +167,13 @@ def run_round(
         )
         due = due.filter(F.col("tag") == F.lit(config.tag_filter))
 
+    # r07: the due slice is ROUND-SIZED (bounded by budgets, never the full
+    # frontier) and its scan subtree appears twice inside the schedule job
+    # (the due-hosts robots slice and the politeness window chain) — persist
+    # it so the frontier parquet is scanned once per round here (guide §5:
+    # cache what is reused and round-bounded; the full frontier is neither).
+    due = due.persist()
+
     # ---- SRC3/J2/F4 robots: fetch missing hosts' robots, then filter.
     # due_hosts is bounded by the round and reused three ways (missing-host
     # calc, cache slice, and the robots join) — persisted once.
@@ -516,7 +523,7 @@ def run_round(
         fetched=fetched,
         round_ts=round_ts,
         early_futures=early_futures,
-        persisted=[robots_delta, due_hosts]
+        persisted=[robots_delta, due_hosts, due]
         + ([found_urls] if found_urls is not None else [])
         + sched_persisted + extra_persisted,
         scheduled=scheduled,

@@ -244,6 +244,15 @@ class StateStore:
                 F.floor(F.col("next_fetch_unix") / F.lit(g)).cast("long"),
             )
             .filter(F.col("fpart").isin([int(v) for v in touched]))
+            # r07 (guide §6 small files): cluster by the partition column so
+            # each touched fpart lands in ~ONE file instead of one file per
+            # (writer task × fpart). Without this, every round emitted up to
+            # shuffle.partitions files per fpart, and the NEXT round's two
+            # full-frontier scans (the due scan and the not_due rewrite
+            # branch) paid listing + footer + open cost for hundreds of
+            # KB-sized files. The extra exchange moves only the touched
+            # rows (slim columns, no page bodies).
+            .repartition("fpart")
             .write.mode("overwrite")
             .partitionBy("fpart")
             .parquet(out_dir)

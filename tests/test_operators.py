@@ -682,3 +682,28 @@ def test_word_doc_freq_unique_matches_countdistinct(spark):
         for r in word_doc_freq(p, unique_doc_word=True).collect()
     }
     assert a == b and ("a", 2, 3) in a
+
+
+def test_python_xxhash64_matches_spark(spark):
+    """r07: the driver-side XXH64 used for probe bucket routing must match
+    Spark's F.xxhash64 (seed 42, UTF-8 bytes) bit-for-bit across every
+    length class of the algorithm (empty, <4, <8, <32, multi-stripe) and
+    non-ASCII — and pmod must agree on negative hashes."""
+    from aspseek_spark.functions.hashing import (
+        spark_pmod_xxhash64,
+        spark_xxhash64,
+    )
+
+    words = [
+        "", "a", "ab", "abc", "abcd", "abcdefg", "table", "query",
+        "a-longer-token-word", "x" * 31, "x" * 32, "x" * 33, "y" * 100,
+        "naïve", "東京", "mixedCASE", "0", "crawl-frontier-url",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "w string").select(
+        "w",
+        F.xxhash64("w").alias("h"),
+        F.pmod(F.xxhash64("w"), F.lit(32)).alias("b"),
+    )
+    for r in df.collect():
+        assert spark_xxhash64(r["w"]) == r["h"], r["w"]
+        assert spark_pmod_xxhash64(r["w"], 32) == r["b"], r["w"]
