@@ -80,10 +80,12 @@ def run_at(cpus: int) -> dict:
     # tmpfs (guest RAM, 126 GB). Cluster-faithful: executors on a real
     # cluster read from distributed storage whose aggregate bandwidth
     # scales WITH the executor count; a fixed shared virtio disk does not.
+    staged_here = False
     if os.environ.get("SPARK_GRAFT_TMPFS", "1") == "1":
         web_src = _leg_web_dir(env)
         staged = _stage_web_tmpfs(web_src)
         env["SPARK_GRAFT_WEB_DIR"] = staged
+        staged_here = True
         local_dir = "/dev/shm/aspseek_spark_local"
         tmp_dir = "/dev/shm/aspseek_tmp"
         os.makedirs(local_dir, exist_ok=True)
@@ -128,7 +130,12 @@ def run_at(cpus: int) -> dict:
     row["leg_wall_s"] = round(wall, 1)
     row["leg_avg_cores"] = round(cpu / wall, 2) if wall else None
     row.update(canary.stats())
-    row["storage"] = "tmpfs" if "SPARK_GRAFT_WEB_DIR" in env else "vda"
+    # r06 ADVICE: key the published storage label on THIS run's staging
+    # decision, not on SPARK_GRAFT_WEB_DIR presence — a user-exported
+    # WEB_DIR pointing at vda with SPARK_GRAFT_TMPFS=0 was mislabeled
+    row["storage"] = "tmpfs" if staged_here else (
+        "custom" if "SPARK_GRAFT_WEB_DIR" in env else "vda"
+    )
     return row
 
 
@@ -198,23 +205,28 @@ class _Canary:
 
 
 def _leg_web_dir(env: dict) -> str:
-    """The on-vda cache dir a leg with this env would resolve (mirrors
-    bench.ensure_bench_web's naming; generates it if missing)."""
-    sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
-    n_pages = int(env["SPARK_GRAFT_WEB_PAGES"])
-    words = int(env["SPARK_GRAFT_BODY_WORDS"])
-    suffix = f"_w{words}" if words != 40 else ""
-    out = os.path.join(REPO, ".cache", f"web_n{n_pages}{suffix}_s42_v7")
-    if not os.path.exists(os.path.join(out, "_COMPLETE")):
-        # generate via bench's own builder so naming/content stay canonical
-        sys.path.insert(0, REPO)
-        from aspseek_spark.sources.webgen import WebSpec, write_web
+    """The on-vda cache dir a leg with this env would resolve. r06 ADVICE:
+    resolved by calling bench.ensure_bench_web ITSELF under the leg's env
+    (generating the fixture if missing), so the cache name/spec live in
+    exactly one place — a bench.py version bump or WebSpec change can no
+    longer leave the scaling legs silently staging a divergent fixture."""
+    sys.path.insert(0, REPO)
+    import bench as _bench
 
-        write_web(out, WebSpec(n_pages=n_pages, seed=42,
-                               seed_hosts_frac=0.25, body_words=words))
-        with open(os.path.join(out, "_COMPLETE"), "w") as f:
-            f.write("ok")
-    return out
+    saved = {
+        k: os.environ.get(k)
+        for k in ("SPARK_GRAFT_WEB_PAGES", "SPARK_GRAFT_BODY_WORDS")
+    }
+    os.environ["SPARK_GRAFT_WEB_PAGES"] = env["SPARK_GRAFT_WEB_PAGES"]
+    os.environ["SPARK_GRAFT_BODY_WORDS"] = env["SPARK_GRAFT_BODY_WORDS"]
+    try:
+        return _bench.ensure_bench_web(_bench.sf_of(SF_DIR))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
 
 
 def _stage_web_tmpfs(src: str) -> str:
@@ -382,6 +394,11 @@ def main():
 
     print(json.dumps({"final_median": statistics.median(pair_effs)}),
           flush=True)
+    # r06 ADVICE: the staged web (~13 GB of guest RAM at realistic body
+    # sizes) must not stay pinned after the protocol finishes
+    import shutil as _shutil
+
+    _shutil.rmtree("/dev/shm/aspseek_web", ignore_errors=True)
 
 
 def _publish(

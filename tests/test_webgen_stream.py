@@ -57,3 +57,20 @@ def test_chunk_boundary_invariance():
         assert tiny[name].combine_chunks().equals(
             one[name].combine_chunks()
         ), name
+
+
+def test_pool_path_equals_serial(tmp_path=None):
+    """r06 ADVICE: every pinned config falls under the 20M pool threshold,
+    so the multiprocessing extract1 path was never suite-exercised — drive
+    _generate_stream with an explicit small fork Pool and assert equality
+    with the serial output (same shape as chunk-boundary invariance)."""
+    import multiprocessing as mp
+
+    spec = WebSpec(n_pages=400, seed=42, body_words=80)
+    serial = {n: t for n, t in _generate_stream(spec, 10**9, None)}
+    with mp.get_context("fork").Pool(3) as pool:
+        pooled = {n: t for n, t in _generate_stream(spec, 10**9, pool)}
+    for name in ("pages", "seeds", "robots_src"):
+        assert pooled[name].combine_chunks().equals(
+            serial[name].combine_chunks()
+        ), name
