@@ -64,6 +64,17 @@ def main() -> int:
     check("rendered page over TCP", "documents found" in page,
           f"bytes={len(page)}")
 
+    # bounded result windows (round-6 verdict "wrong" #2): QP pages tile
+    # the ranked order; plain Q is the first page under the daemon's cap
+    pages = [c.query_page(p, 10, "engine") for p in range(5)]
+    flat = [d for pg in pages for d, _ in pg]
+    check(
+        "paged windows tile the ranked order",
+        [len(p) for p in pages] == [10, 10, 10, 10, 0]
+        and len(flat) == len(set(flat)) == 40
+        and pages[0] == c.query("engine")[:10],
+    )
+
     # concurrent sessions across a merge flip: zero failed reads
     errors: list[Exception] = []
     states: set[frozenset] = set()
