@@ -380,19 +380,16 @@ def _q46_simhash_near_pairs(spark, sf_dir):
 
 def _q23_ann_cosine_topk(spark, sf_dir):
     # brute-force cosine top-k (driver brief: similarity baseline).
-    # r07: embeddings is a single-row-group file at bench scales → 1-task
-    # scan feeding a non-codegen higher-order-function projection; spreading
-    # it by the unique id first parallelizes the cosine math (measured
-    # 0.65 s → 0.31 s at sf1.0, values bit-identical — the hoisted query
-    # norm reproduces the expression's exact IEEE fold). Big inputs keep the
-    # shuffle-free scan.
+    # r07: the constant query norm is hoisted to a driver-computed literal
+    # inside cosine_topk_bruteforce (identical IEEE fold, hash-verified) —
+    # ~15-20% off the projection with the plan shape unchanged. The
+    # measured-and-rejected faster-warm variants are documented in the
+    # operator (extra exchange / unrolled codegen both lose in the bench's
+    # cold-query regime).
     from aspseek_spark.operators.similarity import cosine_topk_bruteforce
 
     e = _t(spark, sf_dir, "embeddings")
-    small = _tbl_bytes(sf_dir, "embeddings") < _SMALL_TABLE_BYTES
-    out = cosine_topk_bruteforce(
-        e, ANN_QUERY_VEC, k=10, repartition_by="vec_id" if small else None
-    )
+    out = cosine_topk_bruteforce(e, ANN_QUERY_VEC, k=10)
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 

@@ -47,14 +47,16 @@ def cosine_topk_bruteforce(
     limit), deterministic tie-break on id.
 
     r07: the query vector's norm is a CONSTANT — computed driver-side with
-    the identical sequential left-fold + sqrt the Spark expression performed
-    (bit-for-bit the same IEEE double), so every row saves a 64-element
-    fold. ``repartition_by`` spreads a low-split scan (single-row-group
-    parquet → 1 task) across the cluster before the non-codegen
-    higher-order-function projection — the caller switches it on only when
-    the input is small enough that the extra exchange is cheaper than a
-    serial projection (guide §2.6 idle capacity; at scale the scan has
-    thousands of splits and the caller passes None)."""
+    the identical sequential left-fold + sqrt the Spark expression
+    performed (bit-for-bit the same IEEE double, value-hash-verified), so
+    every row drops 3 of its 9 interpreted array passes. Two rejected
+    alternatives, both measured SLOWER in the bench's cold-query regime:
+    unrolling the cosine into a 192-term codegen expression (the tree
+    falls past the generated-method size limits into per-node interpreted
+    eval — 1.3 s vs 0.7 s warm) and repartitioning before the projection
+    (the extra AQE exchange costs more cold than the parallel projection
+    saves; ``repartition_by`` is kept for callers whose input is a
+    single-split scan AND whose session is warm)."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     qn = 0.0
     for x in query_vec:  # same fold order as F.aggregate: ((0+x0²)+x1²)+…
